@@ -1,0 +1,6 @@
+from agdiff_tpu.parallel.mesh import make_mesh, batch_sharding, replicated  # noqa: F401
+from agdiff_tpu.parallel.data_parallel import (  # noqa: F401
+    make_parallel_train_step,
+    make_parallel_sampler,
+    shard_graph_batch,
+)

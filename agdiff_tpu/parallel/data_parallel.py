@@ -1,0 +1,74 @@
+"""Data-parallel train step and sampler over a device mesh.
+
+jit + sharding annotations: the batch's leading (graph) axis is sharded over
+'dp', parameters/optimizer state are replicated, and XLA's SPMD partitioner
+inserts the gradient all-reduce (psum over ICI). This is the whole
+communication story for this model class — see parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from agdiff_tpu.data.graph_batch import GraphBatch
+
+
+def _batch_spec() -> GraphBatch:
+    """PartitionSpec pytree for GraphBatch: shard the graph axis."""
+    return GraphBatch(
+        atom_type=P("dp"),
+        pos=P("dp"),
+        node_mask=P("dp"),
+        bond_adj=P("dp"),
+        graph_mask=P("dp"),
+    )
+
+
+def shard_graph_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
+    """Place a host GraphBatch sharded across the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        batch,
+        _batch_spec(),
+    )
+
+
+def make_parallel_train_step(model, config, mesh: Mesh, donate: bool = True):
+    """DP version of train.train_step.make_train_step."""
+    from agdiff_tpu.train.train_step import make_train_step
+
+    inner = make_train_step(model, config, jit=False)
+
+    batch_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), _batch_spec()
+    )
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        inner,
+        in_shardings=(repl, batch_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh):
+    """DP version of sampling.langevin.build_sampler: each chip runs the
+    Langevin ladder on its shard of the molecule batch (generation is
+    embarrassingly parallel across molecules)."""
+    from agdiff_tpu.sampling.langevin import langevin_dynamics_sample
+
+    batch_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), _batch_spec()
+    )
+    repl = NamedSharding(mesh, P())
+    pos_sh = NamedSharding(mesh, P("dp"))
+
+    def run(variables, batch: GraphBatch, pos_init, key):
+        return langevin_dynamics_sample(
+            model, variables, batch, pos_init, key, diffusion, sampler_config
+        )
+
+    return jax.jit(run, in_shardings=(repl, batch_sh, pos_sh, repl))

@@ -1,0 +1,171 @@
+"""Annealed Langevin dynamics sampler as a single jit-compiled lax.scan.
+
+Reference: src/agdiff/models/epsnet/dualenc.py:441-547
+(langevin_dynamics_sample_diffusion) — a 5000-iteration Python loop with a
+host device sync (`pos.clone().cpu()`) every step. Here the whole ladder is
+one `lax.scan` on device:
+
+  * per-step radius-graph recompute is the dense predicate inside the model;
+  * the NaN guard (dualenc.py:539-541) becomes a per-graph flag accumulated
+    in the scan carry — no host round-trips; the caller retries flagged
+    molecules with clip_local=20 (matching scripts/test.py:144-181);
+  * the trajectory, if requested, is collected as strided scan outputs
+    instead of a per-step host copy.
+
+Parity notes (SURVEY.md 2.6): the reference accepts sampling_type/eta but
+always runs this same annealed-Langevin update; there is no DDIM/DDPM-noisy
+branch. The update is
+    step = step_lr * (sigma_i / 0.01)^2
+    pos <- pos + step * eps_pos / sigma_i + sqrt(2*step) * xi,
+then per-graph CoM centering (dualenc.py:526-542).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from agdiff_tpu.data.graph_batch import GraphBatch
+from agdiff_tpu.models.schedules import Diffusion
+from agdiff_tpu.ops.geometry import center_pos, clip_norm, eq_transform_dense
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Sampling hyperparameters (reference: scripts/test.py:40-75 defaults)."""
+
+    n_steps: int = 5000
+    step_lr: float = 1.0e-6
+    w_global: float = 1.0
+    global_start_sigma: float = 0.5
+    clip: float = 1000.0
+    clip_local: Optional[float] = None
+    clip_pos: Optional[float] = None
+    extend_order: bool = False   # test-time adjacency is pre-extended
+    extend_radius: bool = True
+    traj_stride: int = 0         # 0 = no trajectory; k = keep every k-th pos
+
+    def with_clip_local(self, value: float) -> "SamplerConfig":
+        return dataclasses.replace(self, clip_local=value)
+
+
+class SampleResult(NamedTuple):
+    pos: jax.Array        # (B, N, 3) final positions
+    nan_flags: jax.Array  # (B,) bool — True if NaN appeared for that graph
+    traj: Optional[jax.Array]  # (T//stride, B, N, 3) or None
+
+
+def langevin_dynamics_sample(
+    model,
+    variables,
+    batch: GraphBatch,
+    pos_init: jax.Array,
+    key: jax.Array,
+    diffusion: Diffusion,
+    config: SamplerConfig,
+) -> SampleResult:
+    """Run the annealed Langevin ladder. pos_init is standard normal noise
+    (reference: scripts/test.py:146); it is scaled by sigmas[-1] here
+    (dualenc.py:476)."""
+    sigmas = jnp.asarray(diffusion.sigmas, jnp.float32)  # (T,)
+    T = diffusion.num_timesteps
+    cfg = config
+    node_mask3 = batch.node_mask[..., None]
+
+    pos = pos_init * sigmas[-1] * node_mask3
+
+    def step(carry, i):
+        pos, key, nan_flags = carry
+        key, noise_key = jax.random.split(key)
+
+        out = model.apply(
+            variables,
+            batch.replace(pos=pos),
+            train=False,
+            extend_order=cfg.extend_order,
+            extend_radius=cfg.extend_radius,
+        )
+        sigma_i = sigmas[i]
+
+        # local branch
+        node_eq_local = eq_transform_dense(
+            out.edge_inv_local, pos, out.local_mask, out.edge_length
+        )
+        if cfg.clip_local is not None:
+            node_eq_local = clip_norm(node_eq_local, cfg.clip_local)
+
+        # global branch — active once sigma_i < global_start_sigma
+        # (dualenc.py:515-524); computed unconditionally, gated by a factor,
+        # to keep the scan body branch-free.
+        inv_global = out.edge_inv_global * (
+            1.0 - out.local_mask.astype(jnp.float32)
+        )
+        node_eq_global = eq_transform_dense(
+            inv_global, pos, out.edge_mask, out.edge_length
+        )
+        node_eq_global = clip_norm(node_eq_global, cfg.clip)
+        # jnp.where (not multiply-by-zero) so an inactive global branch can
+        # never inject NaN/Inf into eps_pos
+        node_eq_global = jnp.where(
+            sigma_i < cfg.global_start_sigma, node_eq_global, 0.0
+        )
+
+        eps_pos = node_eq_local + node_eq_global * cfg.w_global
+
+        step_size = cfg.step_lr * (sigma_i / 0.01) ** 2
+        noise = jax.random.normal(noise_key, pos.shape, pos.dtype) * node_mask3
+        pos_next = (
+            pos
+            + step_size * eps_pos / sigma_i
+            + noise * jnp.sqrt(step_size * 2.0)
+        )
+        # per-graph NaN guard (dualenc.py:539-541), flag instead of raise
+        nan_now = jnp.any(~jnp.isfinite(pos_next), axis=(1, 2))
+        nan_flags = nan_flags | nan_now
+        # keep NaNs from propagating into later steps of *other* graphs
+        pos_next = jnp.where(jnp.isfinite(pos_next), pos_next, 0.0)
+        pos_next = center_pos(pos_next, batch.node_mask)
+        if cfg.clip_pos is not None:
+            pos_next = jnp.clip(pos_next, -cfg.clip_pos, cfg.clip_pos)
+        return (pos_next, key, nan_flags), pos_next
+
+    indices = jnp.arange(T - 1, T - cfg.n_steps - 1, -1)
+    init = (pos, key, jnp.zeros((batch.num_graphs,), bool))
+
+    if cfg.traj_stride and cfg.traj_stride > 0:
+        stride = cfg.traj_stride
+        n_outer = cfg.n_steps // stride
+
+        def outer(carry, idx_chunk):
+            carry, _ = jax.lax.scan(step, carry, idx_chunk)
+            return carry, carry[0]
+
+        chunks = indices[: n_outer * stride].reshape(n_outer, stride)
+        (pos, key, nan_flags), traj = jax.lax.scan(outer, init, chunks)
+        rem = indices[n_outer * stride :]
+        if rem.shape[0]:
+            (pos, key, nan_flags), _ = jax.lax.scan(
+                step, (pos, key, nan_flags), rem
+            )
+    else:
+        (pos, key, nan_flags), _ = jax.lax.scan(step, init, indices)
+        traj = None
+
+    return SampleResult(pos=pos, nan_flags=nan_flags, traj=traj)
+
+
+def build_sampler(model, diffusion: Diffusion, config: SamplerConfig):
+    """A jit-compiled sampler closure; config is baked in statically."""
+
+    @partial(jax.jit, static_argnums=())
+    def run(variables, batch: GraphBatch, pos_init, key):
+        return langevin_dynamics_sample(
+            model, variables, batch, pos_init, key, diffusion, config
+        )
+
+    return run

@@ -1,0 +1,135 @@
+"""Optimizers and LR scheduling.
+
+The reference trains with TWO independent Adam optimizers over disjoint
+parameter partitions — model_global = {edge_encoder_global, encoder_global,
+grad_global_dist_mlp} and model_local = {edge_encoder_local, encoder_local,
+grad_local_dist_mlp} (reference: scripts/train.py:96-100, dualenc.py:103-108)
+— with one shared gradient-norm clip over ALL parameters (train.py:136), and
+a ReduceLROnPlateau schedule per optimizer driven by validation loss
+(utils/common.py:71-90, configs: factor 0.6, patience 10).
+
+TPU-native equivalent: optax.chain(clip_by_global_norm, multi_transform) with
+the partition decided by the top-level module name, and per-partition
+learning rates injected via optax.inject_hyperparams so the host-side plateau
+controller can update them without rebuilding the optimizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from agdiff_tpu.config import OptimizerConfig, SchedulerConfig, TrainConfig
+
+GLOBAL = "global"
+LOCAL = "local"
+
+_LOCAL_PREFIXES = (
+    "edge_encoder_local",
+    "encoder_local",
+    "grad_local_dist_mlp",
+    # tied-encoder layout: the single edge encoder is the *global* one
+    # (reference quirk, dualenc.py:214); everything else defaults to global.
+)
+
+
+def param_partition(params) -> Any:
+    """Label each leaf 'global' or 'local' by its top-level module name."""
+
+    def label_for(top: str) -> str:
+        return LOCAL if any(top.startswith(p) for p in _LOCAL_PREFIXES) else GLOBAL
+
+    return {k: jax.tree_util.tree_map(lambda _: label_for(k), v)
+            for k, v in params.items()}
+
+
+def _adam(opt: OptimizerConfig, lr: float):
+    tx = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=opt.beta1, b2=opt.beta2, eps=1e-8
+    )
+    if opt.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(opt.weight_decay), tx)
+    return tx
+
+
+def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    """Full optimizer: shared global-norm clip, then partitioned Adams."""
+    opt = train_cfg.optimizer
+    if opt.type != "adam":
+        raise NotImplementedError(opt.type)
+    return optax.chain(
+        optax.clip_by_global_norm(train_cfg.max_grad_norm),
+        optax.multi_transform(
+            {GLOBAL: _adam(opt, opt.lr), LOCAL: _adam(opt, opt.lr)},
+            param_labels=param_partition,
+        ),
+    )
+
+
+def set_learning_rates(opt_state, lr_global: float, lr_local: float):
+    """Update the injected learning rates inside the optimizer state."""
+    clip_state, multi_state = opt_state
+    inner = dict(multi_state.inner_states)
+    for name, lr in ((GLOBAL, lr_global), (LOCAL, lr_local)):
+        masked = inner[name]
+        hp_state = masked.inner_state
+        new_hp = hp_state._replace(
+            hyperparams={**hp_state.hyperparams,
+                         "learning_rate": jnp.asarray(lr, jnp.float32)}
+        )
+        inner[name] = masked._replace(inner_state=new_hp)
+    return (clip_state, multi_state._replace(inner_states=inner))
+
+
+def get_learning_rates(opt_state) -> Tuple[float, float]:
+    _, multi_state = opt_state
+    out = []
+    for name in (GLOBAL, LOCAL):
+        hp = multi_state.inner_states[name].inner_state.hyperparams
+        out.append(float(hp["learning_rate"]))
+    return tuple(out)
+
+
+# --- host-side ReduceLROnPlateau controller (torch semantics:
+# mode='min', new_lr = lr * factor after `patience` epochs without
+# improvement; reference utils/common.py:75-81) ---
+
+
+@dataclass(frozen=True)
+class PlateauState:
+    lr: float
+    best: float = float("inf")
+    num_bad: int = 0
+
+
+def plateau_init(lr: float) -> PlateauState:
+    return PlateauState(lr=lr)
+
+
+def plateau_update(
+    state: PlateauState, metric: float, sched: SchedulerConfig,
+    threshold: float = 1e-4,
+) -> PlateauState:
+    """One validation-metric observation; returns the new state (lr may
+    decay). torch default threshold mode is 'rel' with threshold=1e-4."""
+    if metric < state.best * (1.0 - threshold):
+        return replace(state, best=metric, num_bad=0)
+    num_bad = state.num_bad + 1
+    if num_bad > sched.patience:
+        new_lr = max(state.lr * sched.factor, sched.min_lr)
+        return PlateauState(lr=new_lr, best=state.best, num_bad=0)
+    return replace(state, num_bad=num_bad)
+
+
+def make_exponential_min_lr(lr: float, factor: float, min_lr: float, num_iters: int):
+    """ExponentialLR with a floor (reference: utils/common.py:11-38,
+    'expmin' scheduler type): lr_t = max(lr * factor^t, min_lr)."""
+
+    def schedule(step):
+        return jnp.maximum(lr * factor**step, min_lr)
+
+    return schedule

@@ -1,0 +1,67 @@
+"""Logging and metrics (reference: src/agdiff/utils/misc.py:25-52 get_logger /
+get_new_log_dir; TensorBoard scalars train.py:152-158 are replaced by a
+dependency-free JSONL metrics stream that TensorBoard-equivalent tooling or
+pandas can consume)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+
+def get_logger(name: str, log_dir: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    if logger.handlers:
+        return logger
+    formatter = logging.Formatter(
+        "[%(asctime)s::%(name)s::%(levelname)s] %(message)s"
+    )
+    stream = logging.StreamHandler()
+    stream.setLevel(logging.DEBUG)
+    stream.setFormatter(formatter)
+    logger.addHandler(stream)
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
+        fh.setLevel(logging.DEBUG)
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+    return logger
+
+
+def get_new_log_dir(root: str = "./logs", prefix: str = "", tag: str = "") -> str:
+    """Timestamped run directory (reference misc.py:44-52)."""
+    fn = time.strftime("%Y_%m_%d__%H_%M_%S", time.localtime())
+    if prefix:
+        fn = prefix + "_" + fn
+    if tag:
+        fn = fn + "_" + tag
+    log_dir = os.path.join(root, fn)
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar stream: {"step": n, "k": v, ...} per line."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def write(self, step: int, scalars: Dict[str, float]) -> None:
+        if self._f is None:
+            return
+        self._f.write(json.dumps({"step": step, **scalars}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
