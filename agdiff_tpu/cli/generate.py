@@ -1,0 +1,100 @@
+"""Generation CLI (reference: scripts/test.py).
+
+Usage:
+  python -m agdiff_tpu.cli.generate <log_dir_or_ckpt> --out_dir samples \
+      [--test_set data.npz | --synthetic 8] [--start_idx 0 --end_idx 200] \
+      [--num_confs 2x] [--n_steps 5000] [--w_global 0.3]
+
+The model config is read from the checkpoint (reference: test.py:111);
+sampling hyperparameters are CLI flags (test.py:40-75 defaults).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt", help="log dir (uses latest/best ckpt) or ckpt path")
+    ap.add_argument("--ckpt_iter", type=int, default=None)
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--test_set", default=None)
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--start_idx", type=int, default=0)
+    ap.add_argument("--end_idx", type=int, default=200)
+    ap.add_argument("--num_confs", default="2x")
+    # sampling flags (reference scripts/test.py:40-75)
+    ap.add_argument("--n_steps", type=int, default=5000)
+    ap.add_argument("--step_lr", type=float, default=1e-6)
+    ap.add_argument("--w_global", type=float, default=1.0)
+    ap.add_argument("--global_start_sigma", type=float, default=0.5)
+    ap.add_argument("--clip", type=float, default=1000.0)
+    ap.add_argument("--clip_local", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=2021)
+    ap.add_argument("--chunk_size", type=int, default=64)
+    ap.add_argument("--num_devices", type=int, default=0)
+    ap.add_argument("--no_resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from agdiff_tpu.data.dataset import PackedConformationDataset
+    from agdiff_tpu.eval.generate import GenerationRunner
+    from agdiff_tpu.models.dualenc import get_model
+    from agdiff_tpu.models.schedules import make_diffusion
+    from agdiff_tpu.sampling.langevin import SamplerConfig
+    from agdiff_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from agdiff_tpu.utils.logging import get_logger
+
+    if os.path.isdir(os.path.join(args.ckpt, "checkpoints")):
+        ckpt_path, it = latest_checkpoint(args.ckpt, args.ckpt_iter)
+    else:
+        ckpt_path, it = args.ckpt, 0
+    out_dir = args.out_dir or os.path.join(
+        os.path.dirname(os.path.dirname(ckpt_path)), f"samples_{it}"
+    )
+    logger = get_logger("generate", out_dir)
+    logger.info("checkpoint: %s -> out: %s", ckpt_path, out_dir)
+
+    ckpt = load_checkpoint(ckpt_path)
+    config = ckpt["config"]
+    model = get_model(config.model)
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    diffusion = make_diffusion(config.model)
+
+    if args.synthetic:
+        from agdiff_tpu.data.synthetic import synthetic_dataset
+
+        dataset = synthetic_dataset(
+            args.synthetic, seed=7, num_conformers=3
+        )
+    else:
+        dataset = PackedConformationDataset(args.test_set).molecules
+
+    scfg = SamplerConfig(
+        n_steps=args.n_steps, step_lr=args.step_lr, w_global=args.w_global,
+        global_start_sigma=args.global_start_sigma, clip=args.clip,
+        clip_local=args.clip_local,
+    )
+    mesh = None
+    if args.num_devices:
+        from agdiff_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+    runner = GenerationRunner(
+        model, variables, diffusion, scfg,
+        buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
+        mesh=mesh, logger=logger,
+    )
+    runner.run(
+        dataset, out_dir, seed=args.seed, num_confs=args.num_confs,
+        start_idx=args.start_idx, end_idx=args.end_idx,
+        resume=not args.no_resume,
+    )
+    logger.info("done: %s/samples_all.npz", out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Test-set conformer generation runner.
+
+Mirrors scripts/test.py semantics (reference: scripts/test.py:124-195):
+  * per molecule: num_samples = 2 x num_reference_conformers ("2x") or a
+    fixed count;
+  * pos_init ~ N(0,1) per sample; 5000-step Langevin;
+  * NaN handling: molecules whose ladder went non-finite are retried once
+    with clip_local=20 (test.py:144-181) — here at chunk granularity using
+    the per-graph NaN flags the scan carries (no host sync per step);
+  * incremental saves + resume (skip molecules already generated).
+
+TPU-shaped batching: each molecule's samples are generated in fixed-size
+chunks (one compiled program per bucket) instead of a per-molecule dynamic
+batch, so XLA never recompiles across the test set.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from agdiff_tpu.chem.mol import Molecule, load_molecules, save_molecules
+from agdiff_tpu.data.bucketing import pad_molecules, pick_bucket
+from agdiff_tpu.models.schedules import Diffusion
+from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
+
+
+class GenerationRunner:
+    def __init__(
+        self,
+        model,
+        variables,
+        diffusion: Diffusion,
+        sampler_config: SamplerConfig,
+        buckets: Sequence[int] = (32, 64),
+        chunk_size: int = 64,
+        retry_clip_local: float = 20.0,
+        mesh=None,
+        logger=None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.diffusion = diffusion
+        self.sampler_config = sampler_config
+        self.buckets = buckets
+        self.chunk_size = chunk_size
+        self.mesh = mesh
+        self.logger = logger
+        self._samplers: Dict[tuple, object] = {}
+        self.retry_config = sampler_config.with_clip_local(retry_clip_local)
+
+    def _sampler(self, bucket: int, retry: bool):
+        key = (bucket, retry)
+        if key not in self._samplers:
+            cfg = self.retry_config if retry else self.sampler_config
+            if self.mesh is not None:
+                from agdiff_tpu.parallel.data_parallel import make_parallel_sampler
+
+                self._samplers[key] = make_parallel_sampler(
+                    self.model, self.diffusion, cfg, self.mesh
+                )
+            else:
+                self._samplers[key] = build_sampler(self.model, self.diffusion, cfg)
+        return self._samplers[key]
+
+    def num_samples_for(self, mol: Molecule, num_confs: str | int = "2x") -> int:
+        if isinstance(num_confs, int):
+            return num_confs
+        if num_confs.endswith("x"):
+            return int(num_confs[:-1]) * max(mol.num_ref, 1)
+        return int(num_confs)
+
+    def generate_molecule(
+        self, mol: Molecule, num_samples: int, key: jax.Array
+    ) -> np.ndarray:
+        """Generate num_samples conformers; returns (num_samples, N, 3)."""
+        try:
+            bucket = pick_bucket(mol.num_nodes, self.buckets)
+        except ValueError:
+            # molecule larger than every configured bucket: round up to the
+            # next multiple of 8 (a new compiled program, but no failure)
+            bucket = (mol.num_nodes + 7) // 8 * 8
+            self.buckets = tuple(sorted(set(self.buckets) | {bucket}))
+        n = mol.num_nodes
+        out: List[np.ndarray] = []
+        remaining = num_samples
+        chunk_idx = 0
+        while remaining > 0:
+            key, init_key, run_key = jax.random.split(key, 3)
+            count = min(remaining, self.chunk_size)
+            batch = pad_molecules(
+                [mol] * self.chunk_size, bucket, batch_size=self.chunk_size
+            )
+            if self.mesh is not None:
+                from agdiff_tpu.parallel.data_parallel import shard_graph_batch
+
+                batch = shard_graph_batch(batch, self.mesh)
+            pos_init = jax.random.normal(init_key, batch.pos.shape)
+            result = self._sampler(bucket, retry=False)(
+                self.variables, batch, pos_init, run_key
+            )
+            pos = np.asarray(result.pos)
+            flags = np.asarray(result.nan_flags)
+            if flags.any():
+                if self.logger:
+                    self.logger.warning(
+                        "NaN in %d/%d samples; retrying with clip_local",
+                        int(flags.sum()), len(flags),
+                    )
+                key, retry_key = jax.random.split(key)
+                retry = self._sampler(bucket, retry=True)(
+                    self.variables, batch, pos_init, retry_key
+                )
+                retry_pos = np.asarray(retry.pos)
+                pos = np.where(flags[:, None, None], retry_pos, pos)
+            out.append(pos[:count, :n])
+            remaining -= count
+            chunk_idx += 1
+        return np.concatenate(out, axis=0)
+
+    def run(
+        self,
+        dataset: Sequence[Molecule],
+        out_dir: str,
+        seed: int = 0,
+        num_confs: str | int = "2x",
+        start_idx: int = 0,
+        end_idx: Optional[int] = None,
+        resume: bool = True,
+    ) -> List[Molecule]:
+        """Generate for dataset[start_idx:end_idx]; saves incrementally as
+        <out_dir>/samples_<i>.npz and a final samples_all.npz (the reference
+        writes samples_%d.pkl / samples_all.pkl, test.py:173-195)."""
+        os.makedirs(out_dir, exist_ok=True)
+        end_idx = len(dataset) if end_idx is None else min(end_idx, len(dataset))
+        results = []
+        for i in range(start_idx, end_idx):
+            path = os.path.join(out_dir, f"samples_{i}.npz")
+            mol = dataset[i]
+            if resume and os.path.exists(path):
+                results.append(load_samples(path)[0])
+                continue
+            ns = self.num_samples_for(mol, num_confs)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            pos_gen = self.generate_molecule(mol, ns, key)
+            packed = replace(mol, meta={**mol.meta, "pos_gen": pos_gen})
+            # meta holds pos_gen as a plain array; persist via arrays
+            save_mol = Molecule(
+                atom_type=mol.atom_type, pos=mol.pos,
+                bond_index=mol.bond_index, bond_type=mol.bond_type,
+                pos_ref=mol.pos_ref, smiles=mol.smiles,
+                meta={**mol.meta, "__pos_gen_shape__": list(pos_gen.shape)},
+            )
+            _save_with_gen(path, save_mol, pos_gen)
+            if self.logger:
+                self.logger.info(
+                    "molecule %d: %d samples generated (%d atoms)",
+                    i, ns, mol.num_nodes,
+                )
+            results.append(packed)
+        _save_all(os.path.join(out_dir, "samples_all.npz"), results)
+        return results
+
+
+def _save_with_gen(path: str, mol: Molecule, pos_gen: np.ndarray) -> None:
+    arrs = mol.to_arrays()
+    arrs["pos_gen"] = pos_gen.astype(np.float32)
+    np.savez_compressed(path, **{f"m0/{k}": v for k, v in arrs.items()},
+                        **{"__num__": np.array(1)})
+
+
+def _save_all(path: str, mols: List[Molecule]) -> None:
+    payload = {"__num__": np.array(len(mols))}
+    for k, mol in enumerate(mols):
+        arrs = mol.to_arrays()
+        if "pos_gen" in mol.meta:
+            arrs["pos_gen"] = np.asarray(mol.meta["pos_gen"], np.float32)
+        for name, arr in arrs.items():
+            payload[f"m{k}/{name}"] = arr
+    np.savez_compressed(path, **payload)
+
+
+def load_samples(path: str) -> List[Molecule]:
+    """Load samples_all.npz back into packed Molecules with meta['pos_gen']."""
+    out = []
+    with np.load(path, allow_pickle=False) as data:
+        num = int(data["__num__"])
+        for k in range(num):
+            prefix = f"m{k}/"
+            arrs = {
+                name[len(prefix):]: data[name]
+                for name in data.files if name.startswith(prefix)
+            }
+            pos_gen = arrs.pop("pos_gen", None)
+            mol = Molecule.from_arrays(arrs)
+            if pos_gen is not None:
+                mol.meta["pos_gen"] = pos_gen
+            out.append(mol)
+    return out

@@ -1,0 +1,117 @@
+"""Benchmark: conformer-generation throughput of the flagship (QM9-size)
+model under the 5000-step annealed-Langevin protocol.
+
+Prints ONE JSON line:
+  {"metric": "conformers_per_sec_per_chip", "value": N, "unit": "conf/s",
+   "vs_baseline": N, ...}
+
+Protocol measured: the reference generation workload (scripts/test.py) —
+5000 Langevin steps per conformer batch, QM9-size molecules (<= 32 atoms),
+full-size model (hidden 128, 6 SchNet + 4 GIN convs). We time a shorter scan
+(BENCH_STEPS) after compilation and extrapolate linearly to 5000 steps,
+which is conservative (longer scans amortize better).
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). The A100
+PyTorch estimate below comes from the reference's structure: a Python loop
+with 5000 sequential forwards, per-step torch-cluster radius graph rebuild +
+per-step GPU->CPU trajectory copy (dualenc.py:478-545), batch ~50 conformers
+-> ~20-40 ms/step -> ~0.3-0.5 conf/s. We use 0.5 conf/s (the generous end).
+"""
+
+import argparse
+import json
+import time
+
+BASELINE_CONF_PER_SEC = 0.5  # estimated A100 PyTorch reference (see above)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128,
+                    help="conformers generated simultaneously per chip")
+    ap.add_argument("--nodes", type=int, default=32, help="bucket size")
+    ap.add_argument("--bench-steps", type=int, default=250,
+                    help="timed scan length (extrapolated to 5000)")
+    ap.add_argument("--protocol-steps", type=int, default=5000)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agdiff_tpu.config import ModelConfig
+    from agdiff_tpu.data.bucketing import pad_molecules
+    from agdiff_tpu.data.synthetic import synthetic_dataset
+    from agdiff_tpu.models.dualenc import get_model
+    from agdiff_tpu.models.schedules import make_diffusion
+    from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+    dev = jax.devices()[0]
+    config = ModelConfig(dtype=args.dtype)  # flagship QM9 config
+    model = get_model(config)
+    diffusion = make_diffusion(config)
+
+    # one QM9-size molecule replicated across the batch (the reference's
+    # generation pattern: repeat_data x 2*num_refs, test.py:135-141)
+    mols = synthetic_dataset(1, seed=0, min_heavy=9, max_heavy=9)
+    batch = pad_molecules(
+        mols * args.batch, max_nodes=args.nodes, edge_order=3,
+        batch_size=args.batch,
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    # clip_local=20 keeps the ladder finite with untrained weights (the
+    # reference's NaN-retry value, scripts/test.py:144-181); a trained model
+    # does not need it but the per-step compute is identical either way.
+    scfg = SamplerConfig(
+        n_steps=args.bench_steps, w_global=0.3, global_start_sigma=0.5,
+        clip_local=20.0,
+    )
+    sampler = build_sampler(model, diffusion, scfg)
+    pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+
+    # NOTE: fetch results to host (device_get) instead of block_until_ready —
+    # the experimental axon tunnel's ready-event can resolve early, and a D2H
+    # copy of the result is unambiguous evidence the scan finished.
+    t0 = time.perf_counter()
+    out = sampler(variables, batch, pos_init, jax.random.PRNGKey(2))
+    _ = jax.device_get(out.pos)
+    compile_and_first = time.perf_counter() - t0
+
+    times = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        out = sampler(variables, batch, pos_init, jax.random.PRNGKey(3 + k))
+        _ = jax.device_get(out.pos)
+        times.append(time.perf_counter() - t0)
+    t_run = min(times)
+
+    steps_per_sec = args.bench_steps / t_run
+    t_protocol = args.protocol_steps / steps_per_sec
+    conf_per_sec = args.batch / t_protocol
+    nan_frac = float(np.asarray(out.nan_flags).mean())
+
+    print(json.dumps({
+        "metric": "conformers_per_sec_per_chip",
+        "value": round(conf_per_sec, 3),
+        "unit": "conf/s",
+        "vs_baseline": round(conf_per_sec / BASELINE_CONF_PER_SEC, 2),
+        "detail": {
+            "device": str(dev),
+            "batch": args.batch,
+            "nodes": args.nodes,
+            "dtype": args.dtype,
+            "steps_per_sec": round(steps_per_sec, 1),
+            "ms_per_step": round(1000.0 / steps_per_sec, 3),
+            "protocol_steps": args.protocol_steps,
+            "compile_plus_first_s": round(compile_and_first, 1),
+            "nan_frac": nan_frac,
+            "baseline_est_conf_per_sec": BASELINE_CONF_PER_SEC,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

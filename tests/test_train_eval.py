@@ -1,0 +1,383 @@
+"""Training pipeline, checkpointing, sampler, parallel, and evaluation
+tests (covering SURVEY.md section 4's recommended pyramid)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from agdiff_tpu.config import Config, ModelConfig, TrainConfig
+from agdiff_tpu.data.bucketing import pad_molecules, repeat_molecule
+from agdiff_tpu.data.dataset import (
+    BucketedLoader,
+    ConformationDataset,
+    PackedConformationDataset,
+)
+from agdiff_tpu.data.synthetic import synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def smoke_config():
+    return Config(
+        model=ModelConfig(
+            hidden_dim=32, num_convs=2, num_convs_local=2,
+            num_diffusion_timesteps=100,
+        ),
+        train=TrainConfig(batch_size=8, val_freq=20, max_iters=40),
+    )
+
+
+class TestOptimizerPartition:
+    def test_partition_labels(self, smoke_config):
+        from agdiff_tpu.models.dualenc import init_model
+        from agdiff_tpu.train.optimizer import param_partition
+
+        _, variables = init_model(
+            smoke_config.model, jax.random.PRNGKey(0), max_nodes=16
+        )
+        labels = param_partition(variables["params"])
+        flat = {
+            "/".join(str(x) for x in path): v
+            for path, v in jax.tree_util.tree_leaves_with_path(labels)
+        }
+        locals_ = [k for k, v in flat.items() if v == "local"]
+        globals_ = [k for k, v in flat.items() if v == "global"]
+        assert any("encoder_local" in k for k in locals_)
+        assert any("grad_local_dist_mlp" in k for k in locals_)
+        assert any("encoder_global" in k for k in globals_)
+        assert not any("local" in k for k in globals_)
+
+    def test_independent_lrs(self, smoke_config):
+        from agdiff_tpu.train.optimizer import (
+            get_learning_rates,
+            make_optimizer,
+            set_learning_rates,
+        )
+        from agdiff_tpu.models.dualenc import init_model
+
+        _, variables = init_model(
+            smoke_config.model, jax.random.PRNGKey(0), max_nodes=16
+        )
+        tx = make_optimizer(smoke_config.train)
+        opt_state = tx.init(variables["params"])
+        opt_state = set_learning_rates(opt_state, 1e-3, 5e-4)
+        lrs = get_learning_rates(opt_state)
+        assert lrs == pytest.approx((1e-3, 5e-4), rel=1e-5)
+
+    def test_plateau_controller(self):
+        from agdiff_tpu.config import SchedulerConfig
+        from agdiff_tpu.train.optimizer import plateau_init, plateau_update
+
+        sched = SchedulerConfig(factor=0.5, patience=2)
+        st = plateau_init(1.0)
+        st = plateau_update(st, 10.0, sched)  # improvement (best inf)
+        assert st.lr == 1.0 and st.num_bad == 0
+        for _ in range(3):  # 3 bad epochs > patience 2 -> decay
+            st = plateau_update(st, 11.0, sched)
+        assert st.lr == 0.5
+        st = plateau_update(st, 5.0, sched)  # recovers
+        assert st.num_bad == 0 and st.best == 5.0
+
+
+class TestTrainLoop:
+    def test_overfit_loss_decreases(self, smoke_config):
+        from agdiff_tpu.train.train_step import create_train_state, make_train_step
+
+        mols = synthetic_dataset(8, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=8)
+        model, state = create_train_state(
+            smoke_config, jax.random.PRNGKey(0), max_nodes=16, batch_size=8
+        )
+        step = make_train_step(model, smoke_config)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(30):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, batch, k)
+            losses.append(float(metrics.loss))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert int(state.step) == 30
+
+    def test_batch_stats_update(self, smoke_config):
+        from agdiff_tpu.train.train_step import create_train_state, make_train_step
+
+        mols = synthetic_dataset(4, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=4)
+        cfg = Config(
+            model=smoke_config.model,
+            train=TrainConfig(batch_size=4),
+        )
+        model, state = create_train_state(
+            cfg, jax.random.PRNGKey(0), max_nodes=16, batch_size=4
+        )
+        before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+        step = make_train_step(model, cfg)
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, smoke_config, tmp_path):
+        from agdiff_tpu.train.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+            save_checkpoint,
+        )
+        from agdiff_tpu.train.optimizer import plateau_init
+        from agdiff_tpu.train.train_step import create_train_state
+
+        model, state = create_train_state(
+            smoke_config, jax.random.PRNGKey(0), max_nodes=16, batch_size=4
+        )
+        log_dir = str(tmp_path / "run")
+        save_checkpoint(
+            log_dir, 5, smoke_config, state, plateau_init(1e-3),
+            plateau_init(1e-3), avg_val_loss=12.5, best=True,
+        )
+        path, it = latest_checkpoint(log_dir)
+        assert it == 5
+        ckpt = load_checkpoint(path, target=state)
+        assert ckpt["iteration"] == 5
+        assert ckpt["avg_val_loss"] == 12.5
+        assert ckpt["config"].model.hidden_dim == 32
+        leaves_a = jax.tree_util.tree_leaves(state.params)
+        leaves_b = jax.tree_util.tree_leaves(ckpt["params"])
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSampler:
+    def test_sampler_runs_and_centers(self, smoke_config):
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+        mols = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        mol = mols[0]
+        batch = repeat_molecule(mol, 4, max_nodes=16)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=20, w_global=0.3)
+        sampler = build_sampler(model, diffusion, scfg)
+        pos_init = jax.random.normal(jax.random.PRNGKey(3), batch.pos.shape)
+        res = sampler(variables, batch, pos_init, jax.random.PRNGKey(4))
+        pos = np.asarray(res.pos)
+        assert np.isfinite(pos).all()
+        assert not np.asarray(res.nan_flags).any()
+        # CoM centered per graph over real nodes
+        n = mol.num_nodes
+        np.testing.assert_allclose(
+            pos[:, :n].mean(axis=1), 0.0, atol=1e-4
+        )
+
+    def test_sampler_traj_stride(self, smoke_config):
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+        mol = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3)[0]
+        batch = repeat_molecule(mol, 2, max_nodes=16)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=20, traj_stride=5)
+        sampler = build_sampler(model, diffusion, scfg)
+        pos_init = jax.random.normal(jax.random.PRNGKey(3), batch.pos.shape)
+        res = sampler(variables, batch, pos_init, jax.random.PRNGKey(4))
+        assert res.traj is not None
+        assert res.traj.shape[0] == 4  # 20 // 5
+
+
+class TestParallel:
+    def test_dp_matches_single_device(self, smoke_config):
+        from agdiff_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_graph_batch,
+        )
+        from agdiff_tpu.train.train_step import create_train_state, make_train_step
+
+        mols = synthetic_dataset(8, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=8)
+        model, state = create_train_state(
+            smoke_config, jax.random.PRNGKey(0), max_nodes=16, batch_size=8
+        )
+        single = make_train_step(model, smoke_config, donate=False)
+        _, m1 = single(state, batch, jax.random.PRNGKey(5))
+
+        mesh = make_mesh(8)
+        par = make_parallel_train_step(model, smoke_config, mesh, donate=False)
+        sharded = shard_graph_batch(batch, mesh)
+        _, mp_ = par(state, sharded, jax.random.PRNGKey(5))
+        np.testing.assert_allclose(
+            float(m1.loss), float(mp_.loss), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m1.grad_norm), float(mp_.grad_norm), rtol=1e-4
+        )
+
+    def test_dryrun_multichip(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "_graft", os.path.join(os.path.dirname(__file__), "..",
+                                   "__graft_entry__.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
+
+
+class TestEvaluation:
+    def test_best_rmsd_symmetry(self):
+        """Swapping two symmetric atoms must not change best_rmsd."""
+        from agdiff_tpu.chem import best_rmsd
+        from agdiff_tpu.chem.mol import Molecule
+        from agdiff_tpu.chem.constants import BondType
+
+        # C(F)(F): central carbon with two fluorines — F atoms interchangeable
+        s = int(BondType.SINGLE)
+        # deliberately unequal C-F distances so the atom swap is NOT close
+        # to any rigid motion (a near-symmetric geometry would make plain
+        # Kabsch also ~0 and prove nothing)
+        mol = Molecule(
+            atom_type=[6, 9, 9],
+            pos=[[0, 0, 0], [1.4, 0, 0], [0, 2.2, 0]],
+            bond_index=[[0, 1, 0, 2], [1, 0, 2, 0]],
+            bond_type=[s, s, s, s],
+        )
+        ref = np.array(mol.pos)
+        gen_swapped = ref[[0, 2, 1]]  # permute the two F atoms
+        r = best_rmsd(mol, ref, gen_swapped)
+        assert r < 1e-6  # symmetry-aware: the swap is an automorphism
+        # plain Kabsch would NOT be ~0
+        from agdiff_tpu.chem import kabsch_rmsd
+
+        assert kabsch_rmsd(ref, gen_swapped) > 0.3
+
+    def test_covmat_evaluator(self):
+        from agdiff_tpu.eval.covmat import CovMatEvaluator, print_covmat_results
+
+        mols = synthetic_dataset(3, seed=1, min_heavy=4, max_heavy=5,
+                                 num_conformers=2)
+        for m in mols:
+            n = m.num_nodes
+            refs = m.pos_ref.reshape(-1, n, 3)
+            # gens = refs + tiny noise, 2x ratio
+            gens = np.concatenate([refs, refs], axis=0)
+            gens = gens + np.random.default_rng(0).normal(
+                scale=0.01, size=gens.shape
+            )
+            m.meta["pos_gen"] = gens.astype(np.float32)
+        ev = CovMatEvaluator(num_workers=1)
+        results = ev(mols)
+        assert results.CoverageR.shape == (3, 60)
+        # gens are near-copies of refs: coverage ~1 at moderate thresholds
+        assert results.CoverageR[:, -1].min() == 1.0
+        assert results.MatchingR.max() < 0.1
+        print_covmat_results(results, print_fn=lambda *_: None)
+
+    def test_covmat_filters(self):
+        from agdiff_tpu.eval.covmat import CovMatEvaluator
+
+        mols = synthetic_dataset(2, seed=1, min_heavy=4, max_heavy=4,
+                                 num_conformers=2)
+        n0 = mols[0].num_nodes
+        # too few gens -> filtered out
+        mols[0].meta["pos_gen"] = np.zeros((1, n0, 3), np.float32)
+        # disconnected smiles -> filtered out
+        mols[1].meta["pos_gen"] = np.zeros(
+            (4, mols[1].num_nodes, 3), np.float32
+        )
+        mols[1].smiles = "C.C"
+        ev = CovMatEvaluator(num_workers=1)
+        assert len(ev.filter(mols)) == 0
+
+
+class TestGenerationRunner:
+    def test_generate_resume_and_retry_shapes(self, smoke_config, tmp_path):
+        from agdiff_tpu.eval.generate import GenerationRunner, load_samples
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig
+
+        mols = synthetic_dataset(2, seed=3, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        batch = pad_molecules(mols, 16, batch_size=2)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        runner = GenerationRunner(
+            model, variables, make_diffusion(smoke_config.model),
+            SamplerConfig(n_steps=10), buckets=(16,), chunk_size=4,
+        )
+        out = runner.run(mols, str(tmp_path / "samples"), num_confs="2x",
+                         end_idx=2)
+        assert len(out) == 2
+        for mol, res in zip(mols, out):
+            assert res.meta["pos_gen"].shape == (2 * mol.num_ref,
+                                                 mol.num_nodes, 3)
+        # resume: second run loads from disk (no recompute)
+        out2 = runner.run(mols, str(tmp_path / "samples"), num_confs="2x",
+                          end_idx=2)
+        np.testing.assert_array_equal(
+            out[0].meta["pos_gen"], out2[0].meta["pos_gen"]
+        )
+        loaded = load_samples(str(tmp_path / "samples" / "samples_all.npz"))
+        assert len(loaded) == 2 and "pos_gen" in loaded[0].meta
+
+
+class TestDataPipeline:
+    def test_bucketed_loader(self):
+        ds = ConformationDataset(
+            synthetic_dataset(20, seed=4, min_heavy=3, max_heavy=6)
+        )
+        loader = BucketedLoader(ds, batch_size=4, buckets=(16, 24), seed=0)
+        it = iter(loader)
+        seen = set()
+        for _ in range(5):
+            bucket, batch = next(it)
+            assert batch.atom_type.shape == (4, bucket)
+            assert bool(batch.graph_mask.all())
+            seen.add(bucket)
+        # epoch_batches covers the whole dataset
+        total = sum(
+            int(b.graph_mask.sum()) for _, b in loader.epoch_batches()
+        )
+        assert total == 20
+
+    def test_packed_dataset_packs_conformers(self):
+        import dataclasses
+
+        base = synthetic_dataset(2, seed=5, min_heavy=3, max_heavy=3)
+        confs = []
+        for m in base:
+            for k in range(3):
+                confs.append(dataclasses.replace(
+                    m, pos=m.pos + 0.01 * k, pos_ref=None,
+                    meta=dict(m.meta),
+                ))
+        packed = PackedConformationDataset(confs)
+        assert len(packed) == 2
+        assert packed.num_refs(0) == 3
+
+    def test_molecule_npz_roundtrip(self, tmp_path):
+        from agdiff_tpu.chem.mol import load_molecules, save_molecules
+
+        mols = synthetic_dataset(3, seed=6, num_conformers=2)
+        mols[0].meta = {"idx": 7, "boltzmannweight": 0.5}
+        path = str(tmp_path / "mols.npz")
+        save_molecules(path, mols)
+        loaded = load_molecules(path)
+        assert len(loaded) == 3
+        np.testing.assert_array_equal(loaded[0].atom_type, mols[0].atom_type)
+        np.testing.assert_allclose(loaded[0].pos_ref, mols[0].pos_ref)
+        assert loaded[0].meta["idx"] == 7
+        assert loaded[1].smiles == mols[1].smiles
