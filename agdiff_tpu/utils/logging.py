@@ -15,6 +15,7 @@ from typing import Dict, Optional
 def get_logger(name: str, log_dir: Optional[str] = None) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     if logger.handlers:
         return logger
     formatter = logging.Formatter(
