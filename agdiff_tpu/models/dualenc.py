@@ -104,14 +104,17 @@ class DualEncoderEpsNetwork(nn.Module):
         edge_length = dist[..., None]  # (B, N, N, 1)
 
         # --- edge encoders ---
-        edge_encoder_global = get_edge_encoder(cfg, dtype)
-        edge_attr_global = edge_encoder_global(edge_length, edge_type)
+        edge_attr_global = get_edge_encoder(
+            cfg, dtype, name="edge_encoder_global"
+        )(edge_length, edge_type)
         if cfg.tie_edge_encoders:
             # reference re-invokes the *global* encoder for the local branch
             # (dualenc.py:214-216) — identical inputs, identical output.
             edge_attr_local = edge_attr_global
         else:
-            edge_attr_local = get_edge_encoder(cfg, dtype)(edge_length, edge_type)
+            edge_attr_local = get_edge_encoder(
+                cfg, dtype, name="edge_encoder_local"
+            )(edge_length, edge_type)
 
         # --- global branch: SchNet on the full working graph ---
         node_attr_global = SchNetEncoder(

@@ -120,16 +120,18 @@ class GaussianSmearingEdgeEncoder(nn.Module):
         return jnp.concatenate([rbf, bond], axis=-1)
 
 
-def get_edge_encoder(config, dtype=jnp.float32):
+def get_edge_encoder(config, dtype=jnp.float32, name=None):
     """Factory keyed on config.edge_encoder (reference: edge.py:106-116)."""
     if config.edge_encoder == "mlp":
         return MLPEdgeEncoder(
             hidden_dim=config.hidden_dim,
             attention_mode=config.edge_attention_mode,
             dtype=dtype,
+            name=name,
         )
     if config.edge_encoder == "gaussian":
         return GaussianSmearingEdgeEncoder(
-            num_gaussians=config.hidden_dim // 2, cutoff=config.cutoff, dtype=dtype
+            num_gaussians=config.hidden_dim // 2, cutoff=config.cutoff,
+            dtype=dtype, name=name,
         )
     raise ValueError(f"Unknown edge encoder: {config.edge_encoder}")
