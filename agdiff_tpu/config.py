@@ -76,10 +76,11 @@ class OptimizerConfig:
 class SchedulerConfig:
     """reference: configs/qm9_default.yml:30-33, utils/common.py:71-90."""
 
-    type: str = "plateau"
+    type: str = "plateau"  # 'plateau' | 'expmin' | 'expmin_milestone'
     factor: float = 0.6
     patience: int = 10
     min_lr: float = 0.0
+    milestone: int = 1     # for expmin_milestone: gamma = factor^(1/milestone)
 
 
 @dataclass(frozen=True)

@@ -63,3 +63,57 @@ def clip_norm(vec: jax.Array, limit: float) -> jax.Array:
     norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
     denom = jnp.where(norm > limit, limit / jnp.maximum(norm, EPS), 1.0)
     return vec * denom
+
+
+# --------------------------------------------------------------------------
+# Internal-coordinate utilities (reference: geometry.py:39-70; unused by the
+# main diffusion path but part of the public geometry API)
+# --------------------------------------------------------------------------
+
+def get_angle(pos: jax.Array, angle_index: jax.Array) -> jax.Array:
+    """Angles at center atoms. angle_index: (3, A) = (n1, ctr, n2) rows.
+    pos: (N, 3). Returns (A, 1) angles in radians."""
+    n1, ctr, n2 = angle_index
+    v1 = pos[n1] - pos[ctr]
+    v2 = pos[n2] - pos[ctr]
+    inner = jnp.sum(v1 * v2, axis=-1, keepdims=True)
+    length = (
+        jnp.linalg.norm(v1, axis=-1, keepdims=True)
+        * jnp.linalg.norm(v2, axis=-1, keepdims=True)
+    )
+    return jnp.arccos(jnp.clip(inner / jnp.maximum(length, EPS), -1.0, 1.0))
+
+
+def get_dihedral(pos: jax.Array, dihedral_index: jax.Array) -> jax.Array:
+    """Dihedral angles. dihedral_index: (4, A) = (n1, ctr1, ctr2, n2).
+    Returns (A, 1) in radians (reference: geometry.py:53-70)."""
+    n1, ctr1, ctr2, n2 = dihedral_index
+    v_ctr = pos[ctr2] - pos[ctr1]
+    v1 = pos[n1] - pos[ctr1]
+    v2 = pos[n2] - pos[ctr2]
+    nrm1 = jnp.cross(v_ctr, v1)
+    nrm2 = jnp.cross(v_ctr, v2)
+    inner = jnp.sum(nrm1 * nrm2, axis=-1, keepdims=True)
+    length = (
+        jnp.linalg.norm(nrm1, axis=-1, keepdims=True)
+        * jnp.linalg.norm(nrm2, axis=-1, keepdims=True)
+    )
+    return jnp.arccos(jnp.clip(inner / jnp.maximum(length, EPS), -1.0, 1.0))
+
+
+def convert_cluster_score_d(
+    cluster_score_d: jax.Array,
+    cluster_pos: jax.Array,
+    cluster_edge_mask: jax.Array,
+    cluster_edge_length: jax.Array,
+    subgraph_index: jax.Array,
+) -> jax.Array:
+    """Coarse-grained cluster distance scores -> per-node position scores
+    (reference: geometry.py:20-36): eq_transform at cluster level, broadcast
+    back to the nodes of each cluster via subgraph_index (N,)."""
+    cluster_score_pos = eq_transform_dense(
+        cluster_score_d, cluster_pos, cluster_edge_mask, cluster_edge_length
+    )
+    return jnp.take_along_axis(
+        cluster_score_pos, subgraph_index[..., None].astype(jnp.int32), axis=-2
+    )

@@ -54,3 +54,44 @@ def masked_softmax(
     z = z - jax.lax.stop_gradient(jnp.max(z, axis=axis, keepdims=True))
     e = jnp.exp(z) * mask.astype(logits.dtype)
     return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1e-20)
+
+
+# --------------------------------------------------------------------------
+# Graph readouts and coarse-graining (reference: common.py:12-41, 267-313 —
+# not used by the diffusion path, provided for API completeness)
+# --------------------------------------------------------------------------
+
+def mean_readout(node_attr: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """(B, N, C) -> (B, C) mean over real nodes (reference MeanReadout)."""
+    return masked_mean(node_attr, node_mask, axis=1)
+
+
+def sum_readout(node_attr: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """(B, N, C) -> (B, C) sum over real nodes (reference SumReadout)."""
+    m = node_mask[..., None].astype(node_attr.dtype)
+    return jnp.sum(node_attr * m, axis=1)
+
+
+def coarse_grain(
+    pos: jax.Array,          # (B, N, 3)
+    node_attr: jax.Array,    # (B, N, C)
+    subgraph_onehot: jax.Array,  # (B, N, K) float one-hot cluster assignment
+    node_mask: jax.Array,    # (B, N)
+):
+    """Cluster pooling (reference: common.py:267-276): cluster positions are
+    node means, cluster features are node sums. Dense form: the scatter index
+    becomes a one-hot assignment matrix (mask-aware)."""
+    w = subgraph_onehot * node_mask[..., None].astype(subgraph_onehot.dtype)
+    counts = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (B, K)
+    cluster_pos = jnp.einsum("bnk,bnc->bkc", w, pos) / counts[..., None]
+    cluster_attr = jnp.einsum("bnk,bnc->bkc", w, node_attr)
+    cluster_mask = jnp.sum(w, axis=1) > 0
+    return cluster_pos, cluster_attr, cluster_mask
+
+
+def complete_graph_mask(node_mask: jax.Array) -> jax.Array:
+    """(B, N) -> (B, N, N) all-pairs (off-diagonal) edge mask — the dense
+    equivalent of get_complete_graph (reference: common.py:283-313)."""
+    n = node_mask.shape[-1]
+    pair = node_mask[:, :, None] & node_mask[:, None, :]
+    return pair & ~jnp.eye(n, dtype=bool)[None]

@@ -92,7 +92,21 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
         }
         payload = ckptr.restore(os.path.join(path, "state"), payload_target)
     else:
-        payload = ckptr.restore(os.path.join(path, "state"))
+        # No target: restore as host numpy arrays so checkpoints are portable
+        # across backends (a CPU-saved checkpoint must load in a TPU process
+        # and vice versa; orbax would otherwise try to restore onto the
+        # devices recorded at save time).
+        from etils import epath
+
+        state_path = epath.Path(os.path.abspath(os.path.join(path, "state")))
+        handler = ocp.PyTreeCheckpointHandler()
+        meta = handler.metadata(state_path)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        payload = handler.restore(
+            state_path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return {

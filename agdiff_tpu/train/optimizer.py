@@ -125,11 +125,24 @@ def plateau_update(
     return replace(state, num_bad=num_bad)
 
 
-def make_exponential_min_lr(lr: float, factor: float, min_lr: float, num_iters: int):
-    """ExponentialLR with a floor (reference: utils/common.py:11-38,
-    'expmin' scheduler type): lr_t = max(lr * factor^t, min_lr)."""
+def scheduler_step(
+    state: PlateauState, metric: float, sched: SchedulerConfig
+) -> PlateauState:
+    """One scheduler step, dispatched on sched.type — called once per
+    validation epoch, as the reference does (train.py:189-194):
+      plateau           — ReduceLROnPlateau on the metric;
+      expmin            — lr = max(lr * factor, min_lr)
+                          (ExponentialLR_with_minLr, utils/common.py:11-38);
+      expmin_milestone  — same with gamma = factor^(1/milestone)
+                          (utils/common.py:83-89).
+    """
+    if sched.type == "plateau":
+        return plateau_update(state, metric, sched)
+    if sched.type == "expmin":
+        return replace(state, lr=max(state.lr * sched.factor, sched.min_lr))
+    if sched.type == "expmin_milestone":
+        import math
 
-    def schedule(step):
-        return jnp.maximum(lr * factor**step, min_lr)
-
-    return schedule
+        gamma = math.exp(math.log(sched.factor) / max(sched.milestone, 1))
+        return replace(state, lr=max(state.lr * gamma, sched.min_lr))
+    raise NotImplementedError(f"Scheduler not supported: {sched.type}")

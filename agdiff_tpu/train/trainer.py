@@ -29,7 +29,7 @@ from agdiff_tpu.train.checkpoint import (
 from agdiff_tpu.train.optimizer import (
     PlateauState,
     plateau_init,
-    plateau_update,
+    scheduler_step,
     set_learning_rates,
 )
 from agdiff_tpu.train.train_step import (
@@ -138,12 +138,11 @@ class Trainer:
         avg_local = sums["sum_local"] / max(sums["count"], 1.0)
 
         sched = self.config.train.scheduler
-        if sched.type == "plateau":
-            # global scheduler steps on the global loss, local on the local
-            # (reference train.py:189-191)
-            self.plateau_global = plateau_update(self.plateau_global, avg_global, sched)
-            self.plateau_local = plateau_update(self.plateau_local, avg_local, sched)
-            self._apply_lrs()
+        # global scheduler steps on the global loss, local on the local
+        # (reference train.py:189-191); non-plateau types ignore the metric
+        self.plateau_global = scheduler_step(self.plateau_global, avg_global, sched)
+        self.plateau_local = scheduler_step(self.plateau_local, avg_local, sched)
+        self._apply_lrs()
 
         self.logger.info(
             "[Validate] Iter %05d | Loss %.6f | Loss(Global) %.6f | "

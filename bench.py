@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--protocol-steps", type=int, default=5000)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--edge-attention", default="softmax_dim1",
+                    choices=["softmax_dim1", "none", "sigmoid"],
+                    help="'none' skips the reference's identity softmax "
+                         "(bit-identical output, less compute)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +53,8 @@ def main():
     from agdiff_tpu.sampling import SamplerConfig, build_sampler
 
     dev = jax.devices()[0]
-    config = ModelConfig(dtype=args.dtype)  # flagship QM9 config
+    config = ModelConfig(dtype=args.dtype,
+                         edge_attention_mode=args.edge_attention)
     model = get_model(config)
     diffusion = make_diffusion(config)
 
