@@ -149,3 +149,50 @@ def load_molecules(path: str) -> List[Molecule]:
                 mol.meta = ast.literal_eval(str(data[meta_key]))
             mols.append(mol)
     return mols
+
+
+def connected_components(mol: Molecule) -> np.ndarray:
+    """(N,) component id per atom (0-based, in first-seen order). The
+    networkx-free equivalent of the reference's MolClusterData subgraph
+    indexing (datasets.py:383-399)."""
+    n = mol.num_nodes
+    comp = -np.ones(n, np.int64)
+    adj = [[] for _ in range(n)]
+    for a, b in mol.bond_index.T:
+        adj[a].append(b)
+    next_id = 0
+    for start in range(n):
+        if comp[start] >= 0:
+            continue
+        stack = [start]
+        comp[start] = next_id
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if comp[v] < 0:
+                    comp[v] = next_id
+                    stack.append(v)
+        next_id += 1
+    return comp
+
+
+def split_disconnected(mol: Molecule) -> List[Molecule]:
+    """Split a molecule with multiple connected components ("." SMILES) into
+    one Molecule per component."""
+    comp = connected_components(mol)
+    out = []
+    for cid in range(comp.max() + 1):
+        keep = comp == cid
+        new_index = -np.ones(mol.num_nodes, np.int64)
+        new_index[keep] = np.arange(int(keep.sum()))
+        i, j = mol.bond_index
+        bk = keep[i] & keep[j]
+        out.append(Molecule(
+            atom_type=mol.atom_type[keep],
+            pos=mol.pos[keep],
+            bond_index=np.stack([new_index[i[bk]], new_index[j[bk]]]),
+            bond_type=mol.bond_type[bk],
+            smiles=None,
+            meta={"component": cid, "parent_smiles": mol.smiles},
+        ))
+    return out

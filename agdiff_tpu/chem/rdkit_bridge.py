@@ -135,3 +135,28 @@ def write_sdf(path: str, mol: Molecule, conformers: np.ndarray) -> None:
     for pos in np.asarray(conformers).reshape(-1, mol.num_nodes, 3):
         writer.write(molecule_to_rdmol(mol, pos))
     writer.close()
+
+
+def mol_to_smiles(rdmol) -> str:
+    """Canonical SMILES (reference chem.py:74-75)."""
+    _require_rdkit()
+    return Chem.MolToSmiles(Chem.RemoveHs(rdmol))
+
+
+def smiles_to_canonical(smiles: str) -> str:
+    _require_rdkit()
+    return Chem.CanonSmiles(smiles)
+
+
+def draw_mol_image(rdmol, tensor: bool = False):
+    """2D depiction (reference chem.py:27-33); returns a PIL image, or an
+    (C, H, W) float numpy array if tensor=True (torchvision-free)."""
+    _require_rdkit()
+    from rdkit.Chem import Draw
+
+    rdmol.UpdatePropertyCache()
+    img = Draw.MolToImage(rdmol, kekulize=False)
+    if tensor:
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr.transpose(2, 0, 1)
+    return img

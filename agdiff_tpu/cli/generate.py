@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--no_resume", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="optimized inference path (folded BN + Pallas)")
     args = ap.parse_args(argv)
 
     import jax
@@ -86,7 +88,8 @@ def main(argv=None):
     runner = GenerationRunner(
         model, variables, diffusion, scfg,
         buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
-        mesh=mesh, logger=logger,
+        mesh=mesh, logger=logger, use_fast=args.fast,
+        model_config=config.model,
     )
     runner.run(
         dataset, out_dir, seed=args.seed, num_confs=args.num_confs,

@@ -305,3 +305,19 @@ def get_test_set_with_large_num_conf(
         base.meta = {"idx": int(i), "num_confs": len(confs)}
         packed.append(base)
     return packed
+
+
+def preprocess_iso17(base_path: str) -> Tuple[List[Molecule], List[Molecule]]:
+    """ISO17 preprocessing (reference datasets.py:402-438): reads the
+    iso17_split-0_{train,test}.pkl dicts of rdkit mols + positions and emits
+    Molecule lists. Requires RDKit for the embedded rd_mol objects."""
+    from agdiff_tpu.chem.rdkit_bridge import rdmol_to_molecule
+
+    out = []
+    for split in ("train", "test"):
+        path = os.path.join(base_path, f"iso17_split-0_{split}.pkl")
+        with open(path, "rb") as f:
+            raw = pickle.load(f)
+        mols = [rdmol_to_molecule(m) for m in raw]
+        out.append(mols)
+    return tuple(out)

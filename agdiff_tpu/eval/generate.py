@@ -41,6 +41,8 @@ class GenerationRunner:
         retry_clip_local: float = 20.0,
         mesh=None,
         logger=None,
+        use_fast: bool = False,
+        model_config=None,
     ):
         self.model = model
         self.variables = variables
@@ -50,6 +52,8 @@ class GenerationRunner:
         self.chunk_size = chunk_size
         self.mesh = mesh
         self.logger = logger
+        self.use_fast = use_fast
+        self.model_config = model_config
         self._samplers: Dict[tuple, object] = {}
         self.retry_config = sampler_config.with_clip_local(retry_clip_local)
 
@@ -57,7 +61,16 @@ class GenerationRunner:
         key = (bucket, retry)
         if key not in self._samplers:
             cfg = self.retry_config if retry else self.sampler_config
-            if self.mesh is not None:
+            if self.use_fast and self.mesh is None:
+                from agdiff_tpu.sampling.langevin import build_fast_sampler
+
+                fast = build_fast_sampler(
+                    self.model_config, self.variables, self.diffusion, cfg
+                )
+                self._samplers[key] = (
+                    lambda v, b, p, k, _f=fast: _f(b, p, k)
+                )
+            elif self.mesh is not None:
                 from agdiff_tpu.parallel.data_parallel import make_parallel_sampler
 
                 self._samplers[key] = make_parallel_sampler(

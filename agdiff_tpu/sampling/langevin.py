@@ -68,10 +68,12 @@ def langevin_dynamics_sample(
     key: jax.Array,
     diffusion: Diffusion,
     config: SamplerConfig,
+    forward_fn=None,
 ) -> SampleResult:
     """Run the annealed Langevin ladder. pos_init is standard normal noise
     (reference: scripts/test.py:146); it is scaled by sigmas[-1] here
-    (dualenc.py:476)."""
+    (dualenc.py:476). If forward_fn is given (the optimized inference path,
+    models/fast_forward.py) it is used instead of model.apply."""
     sigmas = jnp.asarray(diffusion.sigmas, jnp.float32)  # (T,)
     T = diffusion.num_timesteps
     cfg = config
@@ -83,13 +85,20 @@ def langevin_dynamics_sample(
         pos, key, nan_flags = carry
         key, noise_key = jax.random.split(key)
 
-        out = model.apply(
-            variables,
-            batch.replace(pos=pos),
-            train=False,
-            extend_order=cfg.extend_order,
-            extend_radius=cfg.extend_radius,
-        )
+        if forward_fn is not None:
+            out = forward_fn(
+                batch.replace(pos=pos),
+                extend_order=cfg.extend_order,
+                extend_radius=cfg.extend_radius,
+            )
+        else:
+            out = model.apply(
+                variables,
+                batch.replace(pos=pos),
+                train=False,
+                extend_order=cfg.extend_order,
+                extend_radius=cfg.extend_radius,
+            )
         sigma_i = sigmas[i]
 
         # local branch
@@ -166,6 +175,33 @@ def build_sampler(model, diffusion: Diffusion, config: SamplerConfig):
     def run(variables, batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(
             model, variables, batch, pos_init, key, diffusion, config
+        )
+
+    return run
+
+
+def build_fast_sampler(model_config, variables, diffusion: Diffusion,
+                       config: SamplerConfig, use_pallas: bool = True,
+                       compute_dtype=None):
+    """Sampler over the optimized inference path (models/fast_forward.py):
+    folded BatchNorm + fused Pallas kernels. Parameters are baked into the
+    closure (weights fold once on host)."""
+    import jax.numpy as jnp
+
+    from agdiff_tpu.models.fast_forward import build_fast_forward
+
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
+                         else jnp.float32)
+    forward_fn = build_fast_forward(model_config, variables,
+                                    use_pallas=use_pallas,
+                                    compute_dtype=compute_dtype)
+
+    @jax.jit
+    def run(batch: GraphBatch, pos_init, key):
+        return langevin_dynamics_sample(
+            None, None, batch, pos_init, key, diffusion, config,
+            forward_fn=forward_fn,
         )
 
     return run
