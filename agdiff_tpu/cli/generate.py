@@ -17,7 +17,9 @@ import os
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("ckpt", help="log dir (uses latest/best ckpt) or ckpt path")
+    ap.add_argument("ckpt", help="log dir (uses latest/best ckpt) or ckpt "
+                                 "path; reference .pt checkpoints are "
+                                 "imported automatically")
     ap.add_argument("--ckpt_iter", type=int, default=None)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--test_set", default=None)
@@ -55,15 +57,25 @@ def main(argv=None):
     else:
         ckpt_path, it = args.ckpt, 0
     out_dir = args.out_dir or os.path.join(
-        os.path.dirname(os.path.dirname(ckpt_path)), f"samples_{it}"
+        os.path.dirname(os.path.dirname(ckpt_path)) or ".", f"samples_{it}"
     )
     logger = get_logger("generate", out_dir)
     logger.info("checkpoint: %s -> out: %s", ckpt_path, out_dir)
 
-    ckpt = load_checkpoint(ckpt_path)
-    config = ckpt["config"]
+    if ckpt_path.endswith((".pt", ".pth")):
+        # a reference (PyTorch) checkpoint: import the weights directly
+        from agdiff_tpu.config import Config
+        from agdiff_tpu.train.import_torch import load_reference_checkpoint
+
+        variables, model_config = load_reference_checkpoint(ckpt_path)
+        config = Config(model=model_config)
+        logger.info("imported reference torch checkpoint")
+    else:
+        ckpt = load_checkpoint(ckpt_path)
+        config = ckpt["config"]
+        variables = {"params": ckpt["params"],
+                     "batch_stats": ckpt["batch_stats"]}
     model = get_model(config.model)
-    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
     diffusion = make_diffusion(config.model)
 
     if args.synthetic:

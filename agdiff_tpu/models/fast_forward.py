@@ -260,7 +260,9 @@ def build_fast_forward(
         # --- GIN local branch ---
         hl = gin_emb[batch.atom_type]
         for i, layer in enumerate(gin_layers):
-            if use_pallas:
+            if use_pallas and compute_dtype == jnp.float32:
+                # bf16 GINE blocks fail Mosaic layout inference on this
+                # toolchain; bf16 mode uses the XLA path below instead
                 agg = gine_aggregate(hl.astype(compute_dtype),
                                      edge_attr_local, local_mask,
                                      activation="relu")

@@ -33,8 +33,11 @@ def main():
     ap.add_argument("--bench-steps", type=int, default=250,
                     help="timed scan length (extrapolated to 5000)")
     ap.add_argument("--protocol-steps", type=int, default=5000)
-    ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 XLA is the fastest measured config "
+                         "(10.4 conf/s/chip vs 8.0 f32; the Pallas --fast "
+                         "path wins only in f32: 8.8)")
     ap.add_argument("--mode", default="generate",
                     choices=["generate", "train"],
                     help="generate: 5000-step sampling protocol (headline); "

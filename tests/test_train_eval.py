@@ -381,3 +381,32 @@ class TestDataPipeline:
         np.testing.assert_allclose(loaded[0].pos_ref, mols[0].pos_ref)
         assert loaded[0].meta["idx"] == 7
         assert loaded[1].smiles == mols[1].smiles
+
+
+class TestParallelSampler:
+    def test_dp_sampler_matches_single(self, smoke_config):
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.parallel import make_mesh, make_parallel_sampler
+        from agdiff_tpu.parallel.data_parallel import shard_graph_batch
+        from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+        mols = synthetic_dataset(1, seed=8, min_heavy=3, max_heavy=3)
+        batch = pad_molecules(mols * 8, 16, batch_size=8)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=8, w_global=0.3)
+        pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+
+        single = build_sampler(model, diffusion, scfg)
+        r1 = single(variables, batch, pos_init, jax.random.PRNGKey(2))
+
+        mesh = make_mesh(8)
+        par = make_parallel_sampler(model, diffusion, scfg, mesh)
+        sharded = shard_graph_batch(batch, mesh)
+        r2 = par(variables, sharded, pos_init, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(
+            np.asarray(r1.pos), np.asarray(r2.pos), atol=1e-5
+        )
+        assert not np.asarray(r2.nan_flags).any()
