@@ -40,6 +40,11 @@ def main(argv=None):
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
+    ap.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="override the compute dtype from the checkpoint "
+                         "config (bfloat16 sampling of f32-trained models "
+                         "is the fastest configuration)")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,6 +80,11 @@ def main(argv=None):
         config = ckpt["config"]
         variables = {"params": ckpt["params"],
                      "batch_stats": ckpt["batch_stats"]}
+    if args.dtype:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, model=_dc.replace(config.model,
+                                                       dtype=args.dtype))
     model = get_model(config.model)
     diffusion = make_diffusion(config.model)
 

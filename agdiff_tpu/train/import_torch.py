@@ -186,3 +186,112 @@ def load_reference_checkpoint(path: str):
                             if k in known})
     variables = import_reference_state_dict(ckpt["model"], config)
     return variables, config
+
+
+# ---------------------------------------------------------------------------
+# Export (inverse mapping): our variables -> reference-style state_dict
+# ---------------------------------------------------------------------------
+
+def _flat_items(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat_items(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def export_reference_state_dict(variables, config: ModelConfig):
+    """Our {'params', 'batch_stats'} -> a reference-layout torch state_dict
+    (so models trained here can be loaded by the PyTorch reference)."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out = {}
+
+    def put_linear(dst, scope):
+        node = params
+        for k in scope:
+            node = node[k]
+        out[dst + ".weight"] = torch.from_numpy(
+            np.asarray(node["kernel"]).T.copy())
+        if "bias" in node:
+            out[dst + ".bias"] = torch.from_numpy(np.asarray(node["bias"]))
+
+    def put_embed(dst, scope):
+        node = params
+        for k in scope:
+            node = node[k]
+        out[dst + ".weight"] = torch.from_numpy(
+            np.asarray(node["embedding"]))
+
+    def put_bn(dst, scope):
+        pnode, snode = params, stats
+        for k in scope:
+            pnode, snode = pnode[k], snode[k]
+        out[dst + ".weight"] = torch.from_numpy(np.asarray(pnode["scale"]))
+        out[dst + ".bias"] = torch.from_numpy(np.asarray(pnode["bias"]))
+        out[dst + ".running_mean"] = torch.from_numpy(np.asarray(snode["mean"]))
+        out[dst + ".running_var"] = torch.from_numpy(np.asarray(snode["var"]))
+        out[dst + ".num_batches_tracked"] = torch.tensor(0)
+
+    def put_scalar(dst, scope):
+        node = params
+        for k in scope:
+            node = node[k]
+        out[dst] = torch.from_numpy(np.asarray(node).reshape(()).copy()
+                                    ).reshape(())
+
+    def edge_encoder(src, dst):
+        put_embed(f"{dst}.bond_emb", (src, "bond_emb"))
+        put_linear(f"{dst}.feature_expansion", (src, "feature_expansion"))
+        for ours, theirs in (("edge_feature_mlp_0", "edge_feature_mlp.0"),
+                             ("edge_feature_mlp_1", "edge_feature_mlp.2"),
+                             ("combination_mlp_0", "combination_mlp.0"),
+                             ("combination_mlp_1", "combination_mlp.2"),
+                             ("attention_0", "attention.0"),
+                             ("attention_1", "attention.2")):
+            put_linear(f"{dst}.{theirs}", (src, ours))
+
+    edge_encoder("edge_encoder_global", "edge_encoder_global")
+    if "edge_encoder_local" in params:
+        edge_encoder("edge_encoder_local", "edge_encoder_local")
+
+    put_embed("encoder_global.embedding", ("encoder_global", "embedding"))
+    for i in range(config.num_convs):
+        src = ("encoder_global", f"interactions_{i}")
+        dst = f"encoder_global.interactions.{i}"
+        for conv in ("conv1", "conv2"):
+            put_linear(f"{dst}.{conv}.nn.0", src + (conv, "filter_0"))
+            put_scalar(f"{dst}.{conv}.nn.1.beta", src + (conv, "filter_act", "beta"))
+            put_linear(f"{dst}.{conv}.nn.2", src + (conv, "filter_1"))
+            put_linear(f"{dst}.{conv}.distance_weighting.layer1",
+                       src + (conv, "distance_weighting", "layer1"))
+            put_linear(f"{dst}.{conv}.distance_weighting.layer2",
+                       src + (conv, "distance_weighting", "layer2"))
+            put_linear(f"{dst}.{conv}.lin1", src + (conv, "lin1"))
+            put_linear(f"{dst}.{conv}.lin2", src + (conv, "lin2"))
+            put_bn(f"{dst}.{conv}.norm1", src + (conv, "norm1"))
+            put_bn(f"{dst}.{conv}.norm2", src + (conv, "norm2"))
+        put_scalar(f"{dst}.act.beta", src + ("act", "beta"))
+        put_linear(f"{dst}.lin", src + ("lin",))
+        put_linear(f"{dst}.attention.0", src + ("attention_0",))
+        put_linear(f"{dst}.attention.2", src + ("attention_1",))
+        put_linear(f"encoder_global.scaling_modules.{i}.fc.0",
+                   ("encoder_global", f"scaling_modules_{i}", "fc_0"))
+        put_linear(f"encoder_global.scaling_modules.{i}.fc.2",
+                   ("encoder_global", f"scaling_modules_{i}", "fc_1"))
+
+    put_embed("encoder_local.node_emb", ("encoder_local", "node_emb"))
+    for i in range(config.num_convs_local):
+        for m in (0, 1):
+            put_linear(f"encoder_local.convs.{i}.nn.layers.{m}",
+                       ("encoder_local", f"convs_{i}", "nn", f"layers_{m}"))
+        put_bn(f"encoder_local.batch_norms.{i}",
+               ("encoder_local", f"batch_norms_{i}"))
+
+    for name in ("grad_global_dist_mlp", "grad_local_dist_mlp"):
+        for m in range(3):
+            put_linear(f"{name}.layers.{m}", (name, f"layers_{m}"))
+
+    return out

@@ -173,3 +173,21 @@ class TestLoss:
         )
         delta = np.abs(np.asarray(pos_p - tiny_batch.pos)).max()
         assert delta < 0.1  # beta_start = 1e-7 -> sigma ~ 3e-4
+
+
+class TestGaussianEdgeEncoder:
+    def test_gaussian_encoder_end_to_end(self, tiny_batch):
+        """The 'gaussian' edge encoder (broken NameError in the reference,
+        edge.py:24) works end-to-end here."""
+        import dataclasses
+
+        from agdiff_tpu.config import ModelConfig
+
+        cfg = ModelConfig(
+            hidden_dim=32, num_convs=2, num_convs_local=2,
+            num_diffusion_timesteps=50, edge_encoder="gaussian",
+        )
+        model = get_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), tiny_batch, train=False)
+        out = model.apply(variables, tiny_batch, train=False)
+        assert np.isfinite(np.asarray(out.edge_inv_global)).all()
