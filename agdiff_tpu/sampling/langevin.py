@@ -181,7 +181,7 @@ def build_sampler(model, diffusion: Diffusion, config: SamplerConfig):
 
 
 def build_fast_sampler(model_config, variables, diffusion: Diffusion,
-                       config: SamplerConfig, use_pallas: bool = True,
+                       config: SamplerConfig, use_pallas=None,
                        compute_dtype=None):
     """Sampler over the optimized inference path (models/fast_forward.py):
     folded BatchNorm + fused Pallas kernels. Parameters are baked into the
@@ -189,7 +189,10 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     import jax.numpy as jnp
 
     from agdiff_tpu.models.fast_forward import build_fast_forward
+    from agdiff_tpu.ops.pallas.fused import pallas_available
 
+    if use_pallas is None:
+        use_pallas = pallas_available()
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)

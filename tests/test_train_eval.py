@@ -410,3 +410,30 @@ class TestParallelSampler:
             np.asarray(r1.pos), np.asarray(r2.pos), atol=1e-5
         )
         assert not np.asarray(r2.nan_flags).any()
+
+
+class TestFastRunner:
+    def test_runner_use_fast_on_cpu(self, smoke_config):
+        """use_fast runner path on CPU (Pallas auto-disabled -> XLA fast
+        path with folded BatchNorm) matches the module-path runner."""
+        from agdiff_tpu.eval.generate import GenerationRunner
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig
+
+        mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        batch = pad_molecules(mols, 16, batch_size=1)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=6)
+        common = dict(buckets=(16,), chunk_size=4)
+        slow = GenerationRunner(model, variables, diffusion, scfg, **common)
+        fast = GenerationRunner(model, variables, diffusion, scfg,
+                                use_fast=True,
+                                model_config=smoke_config.model, **common)
+        key = jax.random.PRNGKey(3)
+        a = slow.generate_molecule(mols[0], 4, key)
+        b = fast.generate_molecule(mols[0], 4, key)
+        np.testing.assert_allclose(a, b, atol=5e-4)
