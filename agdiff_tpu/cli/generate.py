@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
+    ap.add_argument("--packed", action="store_true",
+                    help="pack samples of different molecules into shared "
+                         "batches (higher utilization when num_refs varies)")
     ap.add_argument("--dtype", default=None,
                     choices=[None, "float32", "bfloat16"],
                     help="override the compute dtype from the checkpoint "
@@ -50,7 +53,10 @@ def main(argv=None):
     import jax
 
     from agdiff_tpu.data.dataset import PackedConformationDataset
-    from agdiff_tpu.eval.generate import GenerationRunner
+    from agdiff_tpu.eval.generate import (
+        GenerationRunner,
+        PackedGenerationRunner,
+    )
     from agdiff_tpu.models.dualenc import get_model
     from agdiff_tpu.models.schedules import make_diffusion
     from agdiff_tpu.sampling.langevin import SamplerConfig
@@ -107,7 +113,8 @@ def main(argv=None):
         from agdiff_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.num_devices)
-    runner = GenerationRunner(
+    runner_cls = PackedGenerationRunner if args.packed else GenerationRunner
+    runner = runner_cls(
         model, variables, diffusion, scfg,
         buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
         mesh=mesh, logger=logger, use_fast=args.fast,

@@ -72,6 +72,9 @@ def build_fast_forward(
     once here (outside jit), so the returned closure traces clean.
     compute_dtype=bfloat16 runs the edge-feature matmuls in bf16 (f32
     accumulation) — ~1e-2 relative error on scores, 2x MXU rate."""
+    # params may be host numpy (e.g. a checkpoint restored without a target);
+    # promote to jnp so embedding lookups accept traced indices
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     p = variables["params"]
     s = variables["batch_stats"]
     cfg = config

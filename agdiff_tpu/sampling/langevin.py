@@ -40,6 +40,7 @@ class SamplerConfig:
     """Sampling hyperparameters (reference: scripts/test.py:40-75 defaults)."""
 
     n_steps: int = 5000
+    unroll: int = 1              # lax.scan unroll factor (pipelining)
     step_lr: float = 1.0e-6
     w_global: float = 1.0
     global_start_sigma: float = 0.5
@@ -162,7 +163,9 @@ def langevin_dynamics_sample(
                 step, (pos, key, nan_flags), rem
             )
     else:
-        (pos, key, nan_flags), _ = jax.lax.scan(step, init, indices)
+        (pos, key, nan_flags), _ = jax.lax.scan(
+            step, init, indices, unroll=cfg.unroll
+        )
         traj = None
 
     return SampleResult(pos=pos, nan_flags=nan_flags, traj=traj)

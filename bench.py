@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128,
                     help="conformers generated simultaneously per chip")
     ap.add_argument("--nodes", type=int, default=32, help="bucket size")
+    ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--bench-steps", type=int, default=250,
                     help="timed scan length (extrapolated to 5000)")
     ap.add_argument("--protocol-steps", type=int, default=5000)
@@ -86,7 +87,7 @@ def main():
     # does not need it but the per-step compute is identical either way.
     scfg = SamplerConfig(
         n_steps=args.bench_steps, w_global=0.3, global_start_sigma=0.5,
-        clip_local=20.0,
+        clip_local=20.0, unroll=args.unroll,
     )
     if args.fast:
         from agdiff_tpu.sampling.langevin import build_fast_sampler
