@@ -93,6 +93,10 @@ class TrainConfig:
     max_iters: int = 1_000_000
     max_grad_norm: float = 10000.0
     anneal_power: float = 2.0
+    # Skip parameter updates when gradients are non-finite (production
+    # robustness; the reference has no training-time NaN handling — its only
+    # guard is the sampler's, dualenc.py:539-541). Off by default for parity.
+    skip_nonfinite_updates: bool = False
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 

@@ -72,6 +72,17 @@ def build_fast_forward(
     once here (outside jit), so the returned closure traces clean.
     compute_dtype=bfloat16 runs the edge-feature matmuls in bf16 (f32
     accumulation) — ~1e-2 relative error on scores, 2x MXU rate."""
+    if config.edge_encoder != "mlp":
+        raise NotImplementedError(
+            "fast_forward supports the 'mlp' edge encoder (both reference "
+            "configs); use the flax module path for 'gaussian'."
+        )
+    if config.edge_attention_mode == "sigmoid":
+        raise NotImplementedError(
+            "fast_forward elides the reference's identity softmax edge "
+            "attention; the non-reference 'sigmoid' gate needs the module "
+            "path."
+        )
     # params may be host numpy (e.g. a checkpoint restored without a target);
     # promote to jnp so embedding lookups accept traced indices
     variables = jax.tree_util.tree_map(jnp.asarray, variables)

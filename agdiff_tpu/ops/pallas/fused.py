@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
-DEFAULT_GROUP = 8
+import os as _os
+
+DEFAULT_GROUP = int(_os.environ.get("AGDIFF_PALLAS_GROUP", "8"))
 
 LN2 = 0.6931471805599453
 

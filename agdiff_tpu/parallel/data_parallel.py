@@ -17,14 +17,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from agdiff_tpu.data.graph_batch import GraphBatch
 
 
-def _batch_spec() -> GraphBatch:
-    """PartitionSpec pytree for GraphBatch: shard the graph axis."""
+def _batch_spec(mesh: Mesh = None) -> GraphBatch:
+    """PartitionSpec pytree for GraphBatch: shard the graph axis over every
+    mesh axis (('dcn', 'dp') on a multi-slice mesh, 'dp' otherwise)."""
+    axes = tuple(mesh.axis_names) if mesh is not None else ("dp",)
+    spec = axes if len(axes) > 1 else axes[0]
     return GraphBatch(
-        atom_type=P("dp"),
-        pos=P("dp"),
-        node_mask=P("dp"),
-        bond_adj=P("dp"),
-        graph_mask=P("dp"),
+        atom_type=P(spec),
+        pos=P(spec),
+        node_mask=P(spec),
+        bond_adj=P(spec),
+        graph_mask=P(spec),
     )
 
 
@@ -33,7 +36,7 @@ def shard_graph_batch(batch: GraphBatch, mesh: Mesh) -> GraphBatch:
     return jax.tree_util.tree_map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         batch,
-        _batch_spec(),
+        _batch_spec(mesh),
     )
 
 
@@ -44,7 +47,7 @@ def make_parallel_train_step(model, config, mesh: Mesh, donate: bool = True):
     inner = make_train_step(model, config, jit=False)
 
     batch_sh = jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), _batch_spec()
+        lambda spec: NamedSharding(mesh, spec), _batch_spec(mesh)
     )
     repl = NamedSharding(mesh, P())
     return jax.jit(
@@ -61,10 +64,11 @@ def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh):
     from agdiff_tpu.sampling.langevin import langevin_dynamics_sample
 
     batch_sh = jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), _batch_spec()
+        lambda spec: NamedSharding(mesh, spec), _batch_spec(mesh)
     )
     repl = NamedSharding(mesh, P())
-    pos_sh = NamedSharding(mesh, P("dp"))
+    axes = tuple(mesh.axis_names)
+    pos_sh = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
 
     def run(variables, batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -21,8 +21,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "dp",
+              dcn_slices: int = 1) -> Mesh:
+    """Data-parallel mesh over the first `num_devices` devices.
+
+    dcn_slices > 1 builds a 2-D ('dcn', 'dp') mesh for multi-slice training
+    (the Drugs-scale config, SURVEY.md section 2.5): gradient psum runs
+    hierarchically — within a slice over ICI, across slices over DCN. The
+    batch stays sharded over both axes (pure DP), so no resharding of
+    parameters is ever needed."""
     devices = jax.devices()
     if num_devices is not None:
         if num_devices > len(devices):
@@ -30,6 +37,13 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
                 f"requested {num_devices} devices, have {len(devices)}"
             )
         devices = devices[:num_devices]
+    if dcn_slices > 1:
+        if len(devices) % dcn_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by {dcn_slices} slices"
+            )
+        arr = np.array(devices).reshape(dcn_slices, -1)
+        return Mesh(arr, ("dcn", axis_name))
     return Mesh(np.array(devices), (axis_name,))
 
 

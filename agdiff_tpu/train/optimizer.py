@@ -61,18 +61,32 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
     opt = train_cfg.optimizer
     if opt.type != "adam":
         raise NotImplementedError(opt.type)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.max_grad_norm),
         optax.multi_transform(
             {GLOBAL: _adam(opt, opt.lr), LOCAL: _adam(opt, opt.lr)},
             param_labels=param_partition,
         ),
     )
+    if getattr(train_cfg, "skip_nonfinite_updates", False):
+        # wrap so steps with inf/nan gradients become no-ops (after
+        # max_consecutive_errors the wrapper passes them through to surface
+        # the failure rather than silently stalling)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
+
+
+def _unwrap(opt_state):
+    """Peel an optax.apply_if_finite wrapper if present."""
+    if hasattr(opt_state, "inner_state") and hasattr(opt_state, "notfinite_count"):
+        return opt_state.inner_state, True
+    return opt_state, False
 
 
 def set_learning_rates(opt_state, lr_global: float, lr_local: float):
     """Update the injected learning rates inside the optimizer state."""
-    clip_state, multi_state = opt_state
+    inner, wrapped = _unwrap(opt_state)
+    clip_state, multi_state = inner
     inner = dict(multi_state.inner_states)
     for name, lr in ((GLOBAL, lr_global), (LOCAL, lr_local)):
         masked = inner[name]
@@ -82,11 +96,15 @@ def set_learning_rates(opt_state, lr_global: float, lr_local: float):
                          "learning_rate": jnp.asarray(lr, jnp.float32)}
         )
         inner[name] = masked._replace(inner_state=new_hp)
-    return (clip_state, multi_state._replace(inner_states=inner))
+    new_inner = (clip_state, multi_state._replace(inner_states=inner))
+    if wrapped:
+        return opt_state._replace(inner_state=new_inner)
+    return new_inner
 
 
 def get_learning_rates(opt_state) -> Tuple[float, float]:
-    _, multi_state = opt_state
+    inner, _ = _unwrap(opt_state)
+    _, multi_state = inner
     out = []
     for name in (GLOBAL, LOCAL):
         hp = multi_state.inner_states[name].inner_state.hyperparams

@@ -464,3 +464,87 @@ class TestPackedGeneration:
             assert np.isfinite(gen).all()
             # samples within a molecule differ (independent init noise)
             assert np.abs(gen[0] - gen[1]).max() > 1e-4
+
+
+class TestMultiSliceMesh:
+    def test_dcn_mesh_train_step(self, smoke_config):
+        """2-slice x 4-chip ('dcn','dp') mesh: hierarchical DP matches the
+        single-device step (SURVEY.md 2.5 multi-slice story)."""
+        from agdiff_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_graph_batch,
+        )
+        from agdiff_tpu.train.train_step import create_train_state, make_train_step
+
+        mols = synthetic_dataset(8, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=8)
+        model, state = create_train_state(
+            smoke_config, jax.random.PRNGKey(0), max_nodes=16, batch_size=8
+        )
+        single = make_train_step(model, smoke_config, donate=False)
+        _, m1 = single(state, batch, jax.random.PRNGKey(5))
+
+        mesh = make_mesh(8, dcn_slices=2)
+        assert mesh.axis_names == ("dcn", "dp")
+        par = make_parallel_train_step(model, smoke_config, mesh,
+                                       donate=False)
+        sharded = shard_graph_batch(batch, mesh)
+        _, m2 = par(state, sharded, jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+
+
+class TestNonFiniteGuard:
+    def test_nonfinite_grads_skipped(self, smoke_config):
+        import dataclasses
+
+        from agdiff_tpu.train.optimizer import make_optimizer
+        from agdiff_tpu.models.dualenc import init_model
+
+        cfg = dataclasses.replace(smoke_config.train,
+                                  skip_nonfinite_updates=True)
+        _, variables = init_model(
+            smoke_config.model, jax.random.PRNGKey(0), max_nodes=16
+        )
+        params = variables["params"]
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        bad_grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), params
+        )
+        updates, opt_state = tx.update(bad_grads, opt_state, params)
+        # all updates must be exactly zero (step skipped)
+        assert all(
+            float(np.abs(np.asarray(u)).max()) == 0.0
+            for u in jax.tree_util.tree_leaves(updates)
+        )
+        good_grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, opt_state = tx.update(good_grads, opt_state, params)
+        assert any(
+            float(np.abs(np.asarray(u)).max()) > 0
+            for u in jax.tree_util.tree_leaves(updates)
+        )
+        # LR setters traverse the wrapper
+        from agdiff_tpu.train.optimizer import (
+            get_learning_rates,
+            set_learning_rates,
+        )
+
+        opt_state = set_learning_rates(opt_state, 2e-4, 1e-4)
+        assert get_learning_rates(opt_state) == pytest.approx(
+            (2e-4, 1e-4), rel=1e-5
+        )
+
+
+class TestBF16Model:
+    def test_bfloat16_forward_finite(self, tiny_batch):
+        from agdiff_tpu.config import ModelConfig
+        from agdiff_tpu.models.dualenc import get_model
+
+        cfg = ModelConfig(hidden_dim=32, num_convs=2, num_convs_local=2,
+                          num_diffusion_timesteps=50, dtype="bfloat16")
+        model = get_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), tiny_batch, train=False)
+        out = model.apply(variables, tiny_batch, train=False)
+        assert out.edge_inv_global.dtype == jnp.float32  # outputs upcast
+        assert np.isfinite(np.asarray(out.edge_inv_global)).all()
