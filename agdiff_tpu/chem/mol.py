@@ -126,7 +126,11 @@ def save_molecules(path: str, mols: List[Molecule]) -> None:
     for k, mol in enumerate(mols):
         for name, arr in mol.to_arrays().items():
             payload[f"m{k}/{name}"] = arr
-        payload[f"m{k}/__meta__"] = np.array(repr(mol.meta))
+        # private (underscore) meta entries are runtime caches, not data
+        meta = {mk: mv for mk, mv in mol.meta.items()
+                if not mk.startswith("_")
+                and isinstance(mv, (int, float, str, bool, list, tuple))}
+        payload[f"m{k}/__meta__"] = np.array(repr(meta))
     np.savez_compressed(path, **payload)
 
 

@@ -28,6 +28,19 @@ def pick_bucket(num_nodes: int, buckets: Sequence[int]) -> int:
     )
 
 
+def _extended_adjacency(mol: Molecule, edge_order: int) -> np.ndarray:
+    """Order-extended adjacency, memoized on the molecule (the extension is
+    position-independent and the training loader re-draws molecules every
+    batch; the reference recomputes it per forward, common.py:135-205)."""
+    key = f"_ext_adj_{edge_order}"
+    cached = mol.meta.get(key)
+    if cached is None:
+        raw = mol.bond_adjacency()
+        cached = extend_bond_order(raw, order=edge_order) if edge_order else raw
+        mol.meta[key] = cached
+    return cached
+
+
 def pad_molecule(
     mol: Molecule, max_nodes: int, edge_order: int = 3
 ) -> Dict[str, np.ndarray]:
@@ -42,8 +55,7 @@ def pad_molecule(
     node_mask = np.zeros((max_nodes,), bool)
     node_mask[:n] = True
     bond_adj = np.zeros((max_nodes, max_nodes), np.int32)
-    raw = mol.bond_adjacency()
-    bond_adj[:n, :n] = extend_bond_order(raw, order=edge_order) if edge_order else raw
+    bond_adj[:n, :n] = _extended_adjacency(mol, edge_order)
     return {
         "atom_type": atom_type,
         "pos": pos,
