@@ -66,7 +66,8 @@ class GenerationRunner:
                 from agdiff_tpu.sampling.langevin import build_fast_sampler
 
                 fast = build_fast_sampler(
-                    self.model_config, self.variables, self.diffusion, cfg
+                    self.model_config, self.variables, self.diffusion, cfg,
+                    use_pallas=False,  # measured fastest (see bench.py)
                 )
                 self._samplers[key] = (
                     lambda v, b, p, k, _f=fast: _f(b, p, k)

@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from agdiff_tpu.config import ModelConfig
 from agdiff_tpu.data.graph_batch import GraphBatch
@@ -65,13 +66,19 @@ def _ssp(x, beta):
 
 def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, pack_pairs: bool = True,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
     once here (outside jit), so the returned closure traces clean.
     compute_dtype=bfloat16 runs the edge-feature matmuls in bf16 (f32
-    accumulation) — ~1e-2 relative error on scores, 2x MXU rate."""
+    accumulation) — ~1e-2 relative error on scores, 2x MXU rate.
+
+    pack_pairs exploits the symmetry of every per-pair quantity (distances,
+    edge features, scores are all symmetric in (i, j)): the edge encoder and
+    the pair-score MLPs run over the N(N-1)/2 unordered pairs instead of all
+    N^2 ordered pairs (2.07x fewer rows), then results gather back to the
+    dense layout the aggregations consume. Values are identical."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -194,6 +201,30 @@ def build_fast_forward(
         w = (w @ conv["fb"][0] + conv["fb"][1]) * w_edge[..., None]
         return jnp.einsum("bijf,bjf->bif", w, x)
 
+    def cf_pathway_packed(conv, h, e_packed, pair_id, el, env_mask):
+        # filter MLP over unordered pairs (the filter is symmetric in (i,j)
+        # because edge_attr is), mirrored to dense only for the aggregation
+        lw = distance_weight(conv, el)
+        w_edge = lw * env_mask
+        x = node_input(conv, h)
+        wp = _ssp(e_packed.astype(jnp.float32) @ conv["fa"][0]
+                  + conv["fa"][1], conv["beta"])
+        wp = wp @ conv["fb"][0] + conv["fb"][1]        # (B, P, F)
+        w = wp[:, pair_id] * w_edge[..., None]          # (B, N, N, F)
+        return jnp.einsum("bijf,bjf->bif", w, x)
+
+    def pair_scores_packed(params6, h, e_packed, iu, ju, pair_id, mask):
+        # h_i * h_j over unordered pairs only, then mirror via pair_id
+        prod = h[:, iu, :] * h[:, ju, :]              # (B, P, C)
+        pair = jnp.concatenate(
+            [prod, e_packed.astype(prod.dtype)], axis=-1
+        )
+        x = act(pair @ params6[0] + params6[1])
+        y = act(x @ params6[2] + params6[3])
+        packed = (y @ params6[4] + params6[5])[..., 0]  # (B, P)
+        score = packed[:, pair_id]                      # (B, N, N) mirrored
+        return jnp.where(mask, score, 0.0)
+
     def pair_scores(params6, h, edge_attr, mask):
         if use_pallas:
             return pair_score_mlp(
@@ -230,11 +261,32 @@ def build_fast_forward(
             edge_type = jnp.where(edge_mask, bond_adj, 0).astype(jnp.int32)
         el = dist[..., None]
 
-        edge_attr = edge_encode(ee, el, edge_type).astype(compute_dtype)
-        edge_attr_local = (
-            edge_attr if ee_local is None
-            else edge_encode(ee_local, el, edge_type).astype(compute_dtype)
-        )
+        n = dist.shape[-1]
+        if pack_pairs:
+            # static unordered-pair index sets for this bucket size
+            iu_np, ju_np = np.triu_indices(n, k=1)
+            pair_id_np = np.zeros((n, n), np.int32)
+            pair_id_np[iu_np, ju_np] = np.arange(len(iu_np))
+            pair_id_np = pair_id_np + pair_id_np.T  # diagonal -> pair 0 (masked)
+            iu, ju = jnp.asarray(iu_np), jnp.asarray(ju_np)
+            pair_id = jnp.asarray(pair_id_np)
+            el_packed = dist[:, iu, ju][..., None]        # (B, P, 1)
+            type_packed = edge_type[:, iu, ju]            # (B, P)
+            e_packed = edge_encode(ee, el_packed, type_packed).astype(
+                compute_dtype)
+            edge_attr = e_packed[:, pair_id, :]           # dense mirror
+            if ee_local is None:
+                e_packed_local, edge_attr_local = e_packed, edge_attr
+            else:
+                e_packed_local = edge_encode(
+                    ee_local, el_packed, type_packed).astype(compute_dtype)
+                edge_attr_local = e_packed_local[:, pair_id, :]
+        else:
+            edge_attr = edge_encode(ee, el, edge_type).astype(compute_dtype)
+            edge_attr_local = (
+                edge_attr if ee_local is None
+                else edge_encode(ee_local, el, edge_type).astype(compute_dtype)
+            )
 
         # --- SchNet global branch ---
         h = _embed_lookup(schnet_emb, batch.atom_type, cfg.embedding_max_norm)
@@ -248,6 +300,9 @@ def build_fast_forward(
                     distance_weight(c2, el) * env_mask,
                     node_input(c1, h), node_input(c2, h), c1, c2,
                 )
+            elif pack_pairs:
+                a1 = cf_pathway_packed(c1, h, e_packed, pair_id, el, env_mask)
+                a2 = cf_pathway_packed(c2, h, e_packed, pair_id, el, env_mask)
             else:
                 a1 = cf_pathway_xla(c1, h, edge_attr, el, env_mask)
                 a2 = cf_pathway_xla(c2, h, edge_attr, el, env_mask)
@@ -269,7 +324,14 @@ def build_fast_forward(
             )
             h = h + out
 
-        edge_inv_global = pair_scores(grad_global, h, edge_attr, edge_mask)
+        if pack_pairs:
+            edge_inv_global = pair_scores_packed(
+                grad_global, h.astype(compute_dtype), e_packed, iu, ju,
+                pair_id, edge_mask,
+            )
+        else:
+            edge_inv_global = pair_scores(grad_global, h, edge_attr,
+                                          edge_mask)
 
         # --- GIN local branch ---
         hl = gin_emb[batch.atom_type]
@@ -295,8 +357,14 @@ def build_fast_forward(
                 out = jax.nn.relu(out)
             hl = out + hl
 
-        edge_inv_local = pair_scores(grad_local, hl, edge_attr_local,
-                                     local_mask)
+        if pack_pairs:
+            edge_inv_local = pair_scores_packed(
+                grad_local, hl.astype(compute_dtype), e_packed_local, iu, ju,
+                pair_id, local_mask,
+            )
+        else:
+            edge_inv_local = pair_scores(grad_local, hl, edge_attr_local,
+                                         local_mask)
 
         return ModelOutput(
             edge_inv_global=edge_inv_global,

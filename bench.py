@@ -43,9 +43,12 @@ def main():
                     choices=["generate", "train"],
                     help="generate: 5000-step sampling protocol (headline); "
                          "train: training-step throughput")
-    ap.add_argument("--fast", action="store_true",
-                    help="use the optimized inference path (folded BN + "
-                         "fused Pallas kernels, models/fast_forward.py)")
+    ap.add_argument("--engine", default="fast-xla",
+                    choices=["fast-xla", "fast-pallas", "module"],
+                    help="sampling engine: fast-xla (folded BN + symmetric "
+                         "pair packing, measured fastest), fast-pallas "
+                         "(fused kernels; slower on this toolchain), or the "
+                         "plain flax module path")
     ap.add_argument("--edge-attention", default="softmax_dim1",
                     choices=["softmax_dim1", "none", "sigmoid"],
                     help="'none' skips the reference's identity softmax "
@@ -89,10 +92,13 @@ def main():
         n_steps=args.bench_steps, w_global=0.3, global_start_sigma=0.5,
         clip_local=20.0, unroll=args.unroll,
     )
-    if args.fast:
+    if args.engine.startswith("fast"):
         from agdiff_tpu.sampling.langevin import build_fast_sampler
 
-        fast = build_fast_sampler(config, variables, diffusion, scfg)
+        fast = build_fast_sampler(
+            config, variables, diffusion, scfg,
+            use_pallas=(args.engine == "fast-pallas"),
+        )
         sampler = lambda v, b, p, k: fast(b, p, k)
     else:
         sampler = build_sampler(model, diffusion, scfg)
@@ -129,6 +135,7 @@ def main():
             "batch": args.batch,
             "nodes": args.nodes,
             "dtype": args.dtype,
+            "engine": args.engine,
             "steps_per_sec": round(steps_per_sec, 1),
             "ms_per_step": round(1000.0 / steps_per_sec, 3),
             "protocol_steps": args.protocol_steps,
