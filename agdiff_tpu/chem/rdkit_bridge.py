@@ -10,11 +10,10 @@ smiles_generation.py:253-284, covmat.py:26-28).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
-from agdiff_tpu.chem.constants import BOND_TYPES
 from agdiff_tpu.chem.mol import Molecule
 
 try:

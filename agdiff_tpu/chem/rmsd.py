@@ -19,7 +19,7 @@ implementation and fallback.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -34,6 +34,14 @@ def main(argv=None):
     ap.add_argument("--global_start_sigma", type=float, default=0.5)
     ap.add_argument("--clip", type=float, default=1000.0)
     ap.add_argument("--clip_local", type=float, default=None)
+    ap.add_argument("--clip_pos", type=float, default=None)
+    # accepted for CLI parity with the reference (scripts/test.py:63-74) but
+    # ignored, exactly as the reference ignores them (dualenc.py:437-438):
+    # the sampler is pure annealed Langevin regardless
+    ap.add_argument("--sampling_type", default="ld",
+                    help="accepted and ignored (reference parity)")
+    ap.add_argument("--eta", type=float, default=1.0,
+                    help="accepted and ignored (reference parity)")
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
@@ -49,8 +57,6 @@ def main(argv=None):
                          "config (bfloat16 sampling of f32-trained models "
                          "is the fastest configuration)")
     args = ap.parse_args(argv)
-
-    import jax
 
     from agdiff_tpu.data.dataset import PackedConformationDataset
     from agdiff_tpu.eval.generate import (
@@ -106,7 +112,7 @@ def main(argv=None):
     scfg = SamplerConfig(
         n_steps=args.n_steps, step_lr=args.step_lr, w_global=args.w_global,
         global_start_sigma=args.global_start_sigma, clip=args.clip,
-        clip_local=args.clip_local,
+        clip_local=args.clip_local, clip_pos=args.clip_pos,
     )
     mesh = None
     if args.num_devices:

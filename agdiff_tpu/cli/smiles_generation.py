@@ -35,7 +35,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import numpy as np
 
     from agdiff_tpu.chem.rdkit_bridge import smiles_to_molecule, write_sdf
     from agdiff_tpu.eval.generate import GenerationRunner

@@ -29,8 +29,6 @@ def main(argv=None):
                     help="data-parallel over this many devices (0 = single)")
     args = ap.parse_args(argv)
 
-    import jax
-
     from agdiff_tpu.config import load_config
     from agdiff_tpu.data.dataset import ConformationDataset
     from agdiff_tpu.train.trainer import Trainer

@@ -16,15 +16,14 @@ device compute (the reference uses DataLoader(num_workers=1), train.py:83).
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
 from agdiff_tpu.chem.mol import Molecule, load_molecules
-from agdiff_tpu.data.bucketing import group_by_bucket, pad_molecules, pick_bucket
+from agdiff_tpu.data.bucketing import group_by_bucket, pad_molecules
 from agdiff_tpu.data.graph_batch import GraphBatch
 
 

@@ -18,13 +18,10 @@ only for reading raw GEOM pickles (the rd_mol objects inside).
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import pickle
 import random
-import sys
-import types
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax.struct import dataclass as pytree_dataclass
-from flax.struct import field as pytree_field
 
 
 @pytree_dataclass

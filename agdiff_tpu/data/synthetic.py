@@ -11,7 +11,7 @@ src/agdiff/utils/datasets.py:559-710).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -18,9 +18,9 @@ Reference: src/agdiff/utils/evaluation/covmat.py. Kept semantics:
 from __future__ import annotations
 
 import multiprocessing as mp
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from agdiff_tpu.chem.mol import Molecule, load_molecules, save_molecules
+from agdiff_tpu.chem.mol import Molecule
 from agdiff_tpu.data.bucketing import pad_molecules, pick_bucket
 from agdiff_tpu.models.schedules import Diffusion
 from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler

@@ -23,7 +23,7 @@ branch its own encoder (the presumably-intended architecture).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ tests/test_fast_forward.py. Training always uses the flax path (autodiff).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict
 
 import jax

@@ -9,7 +9,7 @@ entries only, across the whole (B, N) node block.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

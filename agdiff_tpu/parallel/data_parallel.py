@@ -8,10 +8,7 @@ communication story for this model class — see parallel/mesh.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from agdiff_tpu.data.graph_batch import GraphBatch

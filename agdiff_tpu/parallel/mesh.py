@@ -14,7 +14,7 @@ DP + static bucketing covers both training throughput and generation fan-out
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

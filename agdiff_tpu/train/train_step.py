@@ -8,8 +8,7 @@ data-parallel multi-chip variant lives in agdiff_tpu.parallel.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,6 @@ from flax.struct import dataclass as pytree_dataclass
 
 from agdiff_tpu.config import Config
 from agdiff_tpu.data.graph_batch import GraphBatch
-from agdiff_tpu.models.dualenc import get_model
 from agdiff_tpu.models.loss import (
     diffusion_loss,
     perturb_positions,

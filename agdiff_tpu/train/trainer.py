@@ -17,7 +17,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from agdiff_tpu.config import Config
 from agdiff_tpu.data.dataset import BucketedLoader, ConformationDataset, prefetch
@@ -27,7 +26,6 @@ from agdiff_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from agdiff_tpu.train.optimizer import (
-    PlateauState,
     plateau_init,
     scheduler_step,
     set_learning_rates,

@@ -56,7 +56,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from agdiff_tpu.config import ModelConfig
