@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--num_confs", default="2x")
     # sampling flags (reference scripts/test.py:40-75)
     ap.add_argument("--n_steps", type=int, default=5000)
+    ap.add_argument("--ladder", default="suffix",
+                    choices=["suffix", "strided"],
+                    help="suffix = reference semantics (last n_steps noise "
+                         "levels); strided = n_steps levels over the full "
+                         "schedule (fast-sampling extension)")
     ap.add_argument("--step_lr", type=float, default=1e-6)
     ap.add_argument("--w_global", type=float, default=1.0)
     ap.add_argument("--global_start_sigma", type=float, default=0.5)
@@ -110,7 +115,8 @@ def main(argv=None):
         dataset = PackedConformationDataset(args.test_set).molecules
 
     scfg = SamplerConfig(
-        n_steps=args.n_steps, step_lr=args.step_lr, w_global=args.w_global,
+        n_steps=args.n_steps, ladder=args.ladder,
+        step_lr=args.step_lr, w_global=args.w_global,
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
     )

@@ -40,6 +40,10 @@ class SamplerConfig:
     """Sampling hyperparameters (reference: scripts/test.py:40-75 defaults)."""
 
     n_steps: int = 5000
+    ladder: str = "suffix"       # 'suffix' = reference semantics (the LAST
+    #   n_steps noise levels, dualenc.py:474); 'strided' = n_steps levels
+    #   evenly spaced over the FULL schedule — a fast-sampling extension the
+    #   reference does not have (fewer steps, full noise range)
     unroll: int = 1              # lax.scan unroll factor (pipelining)
     step_lr: float = 1.0e-6
     w_global: float = 1.0
@@ -144,7 +148,12 @@ def langevin_dynamics_sample(
             pos_next = jnp.clip(pos_next, -cfg.clip_pos, cfg.clip_pos)
         return (pos_next, key, nan_flags), pos_next
 
-    indices = jnp.arange(T - 1, T - cfg.n_steps - 1, -1)
+    if cfg.ladder == "strided":
+        indices = jnp.round(
+            jnp.linspace(T - 1, 0, cfg.n_steps)
+        ).astype(jnp.int32)
+    else:
+        indices = jnp.arange(T - 1, T - cfg.n_steps - 1, -1)
     init = (pos, key, jnp.zeros((batch.num_graphs,), bool))
 
     if cfg.traj_stride and cfg.traj_stride > 0:

@@ -548,3 +548,25 @@ class TestBF16Model:
         out = model.apply(variables, tiny_batch, train=False)
         assert out.edge_inv_global.dtype == jnp.float32  # outputs upcast
         assert np.isfinite(np.asarray(out.edge_inv_global)).all()
+
+
+class TestStridedLadder:
+    def test_strided_covers_full_range(self, smoke_config):
+        """ladder='strided' visits high AND low noise; 'suffix' (reference
+        semantics, dualenc.py:474) only the last n_steps levels."""
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+        mol = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3)[0]
+        batch = repeat_molecule(mol, 2, max_nodes=16)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+        for ladder in ("suffix", "strided"):
+            scfg = SamplerConfig(n_steps=10, ladder=ladder, w_global=0.3)
+            res = build_sampler(model, diffusion, scfg)(
+                variables, batch, pos_init, jax.random.PRNGKey(2)
+            )
+            assert np.isfinite(np.asarray(res.pos)).all(), ladder
