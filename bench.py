@@ -31,6 +31,8 @@ def main():
                     help="conformers generated simultaneously per chip")
     ap.add_argument("--nodes", type=int, default=32, help="bucket size")
     ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--ladder", default="suffix",
+                    choices=["suffix", "strided"])
     ap.add_argument("--bench-steps", type=int, default=250,
                     help="timed scan length (extrapolated to 5000)")
     ap.add_argument("--protocol-steps", type=int, default=5000)
@@ -88,8 +90,8 @@ def main():
     # reference's NaN-retry value, scripts/test.py:144-181); a trained model
     # does not need it but the per-step compute is identical either way.
     scfg = SamplerConfig(
-        n_steps=args.bench_steps, w_global=0.3, global_start_sigma=0.5,
-        clip_local=20.0, unroll=args.unroll,
+        n_steps=args.bench_steps, ladder=args.ladder, w_global=0.3,
+        global_start_sigma=0.5, clip_local=20.0, unroll=args.unroll,
     )
     if args.engine.startswith("fast"):
         from agdiff_tpu.sampling.langevin import build_fast_sampler
