@@ -202,7 +202,15 @@ def _flat_items(tree, prefix=()):
 
 def export_reference_state_dict(variables, config: ModelConfig):
     """Our {'params', 'batch_stats'} -> a reference-layout torch state_dict
-    (so models trained here can be loaded by the PyTorch reference)."""
+    (so models trained here can be loaded by the PyTorch reference).
+
+    The reference loads checkpoints with a STRICT load_state_dict
+    (scripts/test.py:112, scripts/train.py:111), so the export must contain
+    every key of the real module tree, including parameters that get no
+    compute there: the never-used edge_encoder_local (dualenc.py:65 vs 214),
+    the dead CFConv AttentionModule (schnet.py:126), the GINEConv eps buffer
+    (gin.py:33-36), and the betas/alphas schedule buffers (dualenc.py:115-126).
+    """
     import torch
 
     params = variables["params"]
@@ -256,6 +264,10 @@ def export_reference_state_dict(variables, config: ModelConfig):
     edge_encoder("edge_encoder_global", "edge_encoder_global")
     if "edge_encoder_local" in params:
         edge_encoder("edge_encoder_local", "edge_encoder_local")
+    else:
+        # tied encoders (the reference trains only the global one anyway,
+        # dualenc.py:214): emit a copy so the reference's strict load passes
+        edge_encoder("edge_encoder_global", "edge_encoder_local")
 
     put_embed("encoder_global.embedding", ("encoder_global", "embedding"))
     for i in range(config.num_convs):
@@ -281,9 +293,17 @@ def export_reference_state_dict(variables, config: ModelConfig):
                    ("encoder_global", f"scaling_modules_{i}", "fc_0"))
         put_linear(f"encoder_global.scaling_modules.{i}.fc.2",
                    ("encoder_global", f"scaling_modules_{i}", "fc_1"))
+        # dead CFConv AttentionModule (schnet.py:103-110, 126): present in
+        # every real checkpoint, never used in forward
+        out[f"{dst}.conv1.attention.attention_weights"] = torch.zeros(
+            config.hidden_dim)
+        out[f"{dst}.conv2.attention.attention_weights"] = torch.zeros(
+            config.hidden_dim // 2)
 
     put_embed("encoder_local.node_emb", ("encoder_local", "node_emb"))
     for i in range(config.num_convs_local):
+        # eps buffer (gin.py:33-36, train_eps=False -> saved as 0.0)
+        out[f"encoder_local.convs.{i}.eps"] = torch.zeros(1)
         for m in (0, 1):
             put_linear(f"encoder_local.convs.{i}.nn.layers.{m}",
                        ("encoder_local", f"convs_{i}", "nn", f"layers_{m}"))
@@ -293,5 +313,19 @@ def export_reference_state_dict(variables, config: ModelConfig):
     for name in ("grad_global_dist_mlp", "grad_local_dist_mlp"):
         for m in range(3):
             put_linear(f"{name}.layers.{m}", (name, f"layers_{m}"))
+
+    # schedule buffers saved as non-trainable nn.Parameters
+    # (dualenc.py:115-126): betas float32 + alphas = cumprod(1 - betas)
+    from agdiff_tpu.models.schedules import get_beta_schedule
+
+    betas = get_beta_schedule(
+        config.beta_schedule, beta_start=config.beta_start,
+        beta_end=config.beta_end,
+        num_diffusion_timesteps=config.num_diffusion_timesteps,
+    ).astype(np.float32)
+    out["betas"] = torch.from_numpy(betas)
+    # torch cumprod, not numpy: bit-exact with the reference's float32
+    # `(1.0 - betas).cumprod(dim=0)`
+    out["alphas"] = torch.cumprod(1.0 - out["betas"], dim=0)
 
     return out
