@@ -89,6 +89,23 @@ class GenerationRunner:
             return int(num_confs[:-1]) * max(mol.num_ref, 1)
         return int(num_confs)
 
+    def _batch_size_for(self, count: int) -> int:
+        """Right-size the padded batch for a final partial chunk: round the
+        sample count up to a power of two (>=8) so at most log2(chunk_size)
+        programs exist per bucket instead of always paying a full
+        chunk_size of wasted ladders (protocol 2x-refs chunks are often
+        well under 64). Under a mesh, keep divisibility by device count."""
+        if count >= self.chunk_size:
+            return self.chunk_size
+        b = 8
+        while b < count:
+            b *= 2
+        if self.mesh is not None:
+            ndev = int(np.prod(self.mesh.devices.shape))
+            b = max(b, ndev)
+            b = -(-b // ndev) * ndev
+        return min(b, self.chunk_size)
+
     def generate_molecule(
         self, mol: Molecule, num_samples: int, key: jax.Array
     ) -> np.ndarray:
@@ -107,9 +124,8 @@ class GenerationRunner:
         while remaining > 0:
             key, init_key, run_key = jax.random.split(key, 3)
             count = min(remaining, self.chunk_size)
-            batch = pad_molecules(
-                [mol] * self.chunk_size, bucket, batch_size=self.chunk_size
-            )
+            bsz = self._batch_size_for(count)
+            batch = pad_molecules([mol] * bsz, bucket, batch_size=bsz)
             if self.mesh is not None:
                 from agdiff_tpu.parallel.data_parallel import shard_graph_batch
 
@@ -266,10 +282,10 @@ class PackedGenerationRunner(GenerationRunner):
             for start in range(0, len(slots), self.chunk_size):
                 chunk = slots[start:start + self.chunk_size]
                 mols = [mol for _, mol, _ in chunk]
-                pad_count = self.chunk_size - len(chunk)
+                bsz = self._batch_size_for(len(chunk))
+                pad_count = bsz - len(chunk)
                 batch = pad_molecules(
-                    mols + [mols[-1]] * pad_count, bucket,
-                    batch_size=self.chunk_size,
+                    mols + [mols[-1]] * pad_count, bucket, batch_size=bsz,
                 )
                 # per-slot init noise keyed by (seed, dataset_idx, sample_idx)
                 keys = jnp.stack([

@@ -64,7 +64,9 @@ class PropertyCalculator:
 def ensemble_statistics(props: Dict[str, List[float]]) -> Dict[str, float]:
     """Reference eval_prop.py get_ensemble_energy: statistics in eV."""
     energy = np.array(props["energy"]) * HARTREE_TO_EV
-    gap = (np.array(props["lumo"]) - np.array(props["homo"])) * HARTREE_TO_EV
+    # reference uses |homo - lumo| (eval_prop.py:81)
+    gap = np.abs(np.array(props["lumo"]) - np.array(props["homo"])) \
+        * HARTREE_TO_EV
     return {
         "avg_energy": float(energy.mean()),
         "low_energy": float(energy.min()),

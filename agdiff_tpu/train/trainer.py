@@ -36,7 +36,8 @@ from agdiff_tpu.train.train_step import (
     make_eval_step,
     make_train_step,
 )
-from agdiff_tpu.utils.logging import MetricsWriter, get_logger
+from agdiff_tpu.utils.logging import (MetricsWriter, MultiWriter,
+                                      TensorBoardWriter, get_logger)
 
 
 class Trainer:
@@ -54,7 +55,10 @@ class Trainer:
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.logger = logger or get_logger("train", log_dir)
-        self.writer = MetricsWriter(os.path.join(log_dir, "metrics.jsonl"))
+        self.writer = MultiWriter(
+            MetricsWriter(os.path.join(log_dir, "metrics.jsonl")),
+            TensorBoardWriter(log_dir),  # reference train.py:152-158
+        )
         self.mesh = mesh
         self.log_freq = log_freq
 

@@ -66,3 +66,50 @@ class MetricsWriter:
     def close(self):
         if self._f:
             self._f.close()
+
+
+class TensorBoardWriter:
+    """Optional TensorBoard event-file output alongside the JSONL stream —
+    the one observable the reference has (scripts/train.py:152-158) that the
+    JSONL writer alone doesn't replicate. Import-guarded: silently inactive
+    when the tensorboard package is absent."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self._w = None
+        if not log_dir:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            return
+        self._w = SummaryWriter(log_dir)
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def write(self, step: int, scalars: Dict[str, float]) -> None:
+        if self._w is None:
+            return
+        for k, v in scalars.items():
+            self._w.add_scalar(k, v, step)
+        self._w.flush()
+
+    def close(self):
+        if self._w:
+            self._w.close()
+
+
+class MultiWriter:
+    """Fan a scalar stream out to several writers (JSONL + TensorBoard)."""
+
+    def __init__(self, *writers):
+        self.writers = [w for w in writers if w is not None]
+
+    def write(self, step: int, scalars: Dict[str, float]) -> None:
+        for w in self.writers:
+            w.write(step, scalars)
+
+    def close(self):
+        for w in self.writers:
+            w.close()

@@ -570,3 +570,68 @@ class TestStridedLadder:
                 variables, batch, pos_init, jax.random.PRNGKey(2)
             )
             assert np.isfinite(np.asarray(res.pos)).all(), ladder
+
+
+class TestEnsembleStatistics:
+    def test_matches_reference_math(self):
+        """ensemble_statistics == eval_prop.py:74-93 (get_ensemble_energy):
+        mean/min energy, |homo-lumo| gap stats, all in eV."""
+        from agdiff_tpu.eval.properties import (
+            HARTREE_TO_EV,
+            compare_ensembles,
+            ensemble_statistics,
+        )
+
+        props = {
+            "energy": [-1.0, -3.0, -2.0],
+            "homo": [-0.3, -0.25, -0.35],
+            "lumo": [-0.1, -0.05, -0.45],  # last: lumo < homo -> abs gap
+        }
+        s = ensemble_statistics(props)
+        gaps = np.abs(np.array([0.2, 0.2, -0.1])) * HARTREE_TO_EV
+        assert s["avg_energy"] == pytest.approx(-2.0 * HARTREE_TO_EV)
+        assert s["low_energy"] == pytest.approx(-3.0 * HARTREE_TO_EV)
+        assert s["avg_gap"] == pytest.approx(gaps.mean())
+        assert s["min_gap"] == pytest.approx(gaps.min())
+        assert s["max_gap"] == pytest.approx(gaps.max())
+
+        diff = compare_ensembles(props, props)
+        assert all(v == 0.0 for v in diff.values())
+
+
+class TestChunkRightSizing:
+    def test_batch_size_for(self, smoke_config):
+        from agdiff_tpu.eval.generate import GenerationRunner
+
+        from agdiff_tpu.sampling import SamplerConfig
+
+        r = GenerationRunner(None, None, None,
+                             SamplerConfig(n_steps=1), chunk_size=64)
+        assert r._batch_size_for(64) == 64
+        assert r._batch_size_for(65) == 64   # full chunk
+        assert r._batch_size_for(40) == 64
+        assert r._batch_size_for(20) == 32
+        assert r._batch_size_for(9) == 16
+        assert r._batch_size_for(8) == 8
+        assert r._batch_size_for(1) == 8
+
+    def test_partial_chunk_output_correct(self, smoke_config, tmp_path):
+        """num_samples smaller than chunk_size still yields the right count
+        (padded slots are generated but discarded)."""
+        from agdiff_tpu.eval.generate import GenerationRunner
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig
+
+        mols = synthetic_dataset(1, seed=3, min_heavy=3, max_heavy=3,
+                                 num_conformers=1)
+        batch = pad_molecules(mols, 16, batch_size=1)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        runner = GenerationRunner(
+            model, variables, make_diffusion(smoke_config.model),
+            SamplerConfig(n_steps=5), buckets=(16,), chunk_size=64,
+        )
+        pos = runner.generate_molecule(mols[0], 3, jax.random.PRNGKey(1))
+        assert pos.shape == (3, mols[0].num_nodes, 3)
+        assert np.isfinite(pos).all()
