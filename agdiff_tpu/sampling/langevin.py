@@ -194,23 +194,32 @@ def build_sampler(model, diffusion: Diffusion, config: SamplerConfig):
 
 def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        config: SamplerConfig, use_pallas=None,
-                       compute_dtype=None):
-    """Sampler over the optimized inference path (models/fast_forward.py):
-    folded BatchNorm + fused Pallas kernels. Parameters are baked into the
-    closure (weights fold once on host)."""
+                       compute_dtype=None, engine: Optional[str] = None):
+    """Sampler over an optimized inference path. engine:
+      * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
+        'pallas' adds the per-consumer fused kernels);
+      * 'mono' — ops/pallas/monolithic.py, the whole per-step forward as ONE
+        Pallas kernel (edge tensors never leave VMEM).
+    Parameters are baked into the closure (weights fold once on host)."""
     import jax.numpy as jnp
 
     from agdiff_tpu.models.fast_forward import build_fast_forward
     from agdiff_tpu.ops.pallas.fused import pallas_available
 
-    if use_pallas is None:
-        use_pallas = pallas_available()
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)
-    forward_fn = build_fast_forward(model_config, variables,
-                                    use_pallas=use_pallas,
-                                    compute_dtype=compute_dtype)
+    if engine == "mono":
+        from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
+
+        forward_fn = build_monolithic_forward(model_config, variables,
+                                              compute_dtype=compute_dtype)
+    else:
+        if use_pallas is None:
+            use_pallas = (engine == "pallas") and pallas_available()
+        forward_fn = build_fast_forward(model_config, variables,
+                                        use_pallas=use_pallas,
+                                        compute_dtype=compute_dtype)
 
     @jax.jit
     def run(batch: GraphBatch, pos_init, key):

@@ -46,11 +46,13 @@ def main():
                     help="generate: 5000-step sampling protocol (headline); "
                          "train: training-step throughput")
     ap.add_argument("--engine", default="fast-xla",
-                    choices=["fast-xla", "fast-pallas", "module"],
+                    choices=["fast-xla", "fast-pallas", "fast-mono",
+                             "module"],
                     help="sampling engine: fast-xla (folded BN + symmetric "
-                         "pair packing, measured fastest), fast-pallas "
-                         "(fused kernels; slower on this toolchain), or the "
-                         "plain flax module path")
+                         "pair packing), fast-pallas (per-consumer fused "
+                         "kernels), fast-mono (whole forward as ONE Pallas "
+                         "kernel, edge tensors VMEM-resident), or the plain "
+                         "flax module path")
     ap.add_argument("--edge-attention", default="softmax_dim1",
                     choices=["softmax_dim1", "none", "sigmoid"],
                     help="'none' skips the reference's identity softmax "
@@ -99,6 +101,7 @@ def main():
         fast = build_fast_sampler(
             config, variables, diffusion, scfg,
             use_pallas=(args.engine == "fast-pallas"),
+            engine={"fast-mono": "mono"}.get(args.engine),
         )
         sampler = lambda v, b, p, k: fast(b, p, k)
     else:
