@@ -53,6 +53,10 @@ class ModelConfig:
     embedding_max_norm: Optional[float] = 10.0  # schnet.py:254 Embedding max_norm
     # --- Numerics ---
     dtype: str = "float32"        # compute dtype: 'float32' | 'bfloat16'
+    # Rematerialize the encoders in backward (training): trades cheap FLOPs
+    # for not storing the (B, N, N, C) edge activations — the training step
+    # is HBM-bound, so this is usually a win. Values are identical.
+    remat: bool = False
 
     @property
     def num_timesteps(self) -> int:

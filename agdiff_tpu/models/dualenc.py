@@ -117,7 +117,15 @@ class DualEncoderEpsNetwork(nn.Module):
             )(edge_length, edge_type)
 
         # --- global branch: SchNet on the full working graph ---
-        node_attr_global = SchNetEncoder(
+        # remat: recompute encoder activations in backward instead of saving
+        # the (B, N, N, C) edge tensors (HBM-bound training step). train is a
+        # static Python bool -> static_argnums (0 = self).
+        SchNet = (nn.remat(SchNetEncoder, static_argnums=(6,))
+                  if cfg.remat else SchNetEncoder)
+        GIN = (nn.remat(GINEncoder, static_argnums=(5,))
+               if cfg.remat else GINEncoder)
+
+        node_attr_global = SchNet(
             hidden_channels=cfg.hidden_dim,
             num_filters=cfg.hidden_dim,
             num_interactions=cfg.num_convs,
@@ -136,7 +144,7 @@ class DualEncoderEpsNetwork(nn.Module):
         )(h_pair_global, train)[..., 0]
 
         # --- local branch: GIN on the bond graph ---
-        node_attr_local = GINEncoder(
+        node_attr_local = GIN(
             hidden_dim=cfg.hidden_dim,
             num_convs=cfg.num_convs_local,
             dtype=dtype,

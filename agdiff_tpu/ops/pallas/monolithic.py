@@ -454,6 +454,11 @@ def build_monolithic_forward(
                 jax.ShapeDtypeStruct((b, n, n), jnp.float32),
                 jax.ShapeDtypeStruct((b, n, n), jnp.float32),
             ),
+            # the whole-forward working set at tile=8 is ~64 MB; v5e has
+            # 128 MB VMEM — lift XLA's conservative 16 MB scoped default
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(
             dist,

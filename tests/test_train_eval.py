@@ -635,3 +635,59 @@ class TestChunkRightSizing:
         pos = runner.generate_molecule(mols[0], 3, jax.random.PRNGKey(1))
         assert pos.shape == (3, mols[0].num_nodes, 3)
         assert np.isfinite(pos).all()
+
+
+class TestRematParity:
+    def test_gradients_match_baseline(self, smoke_config):
+        """config.remat recomputes encoder activations in backward; the
+        gradients must match the non-remat path (pre-BN biases excluded:
+        their math gradient is exactly zero, both values are cancellation
+        noise)."""
+        import dataclasses
+
+        from agdiff_tpu.models.loss import (
+            diffusion_loss,
+            perturb_positions,
+            sample_timesteps,
+        )
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.train import create_train_state
+
+        mols = synthetic_dataset(2, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, edge_order=3, batch_size=2)
+        grads_out = []
+        for remat in (False, True):
+            cfg = dataclasses.replace(
+                smoke_config,
+                model=dataclasses.replace(smoke_config.model, remat=remat),
+            )
+            model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                              16, 2)
+            diffusion = make_diffusion(cfg.model)
+            alphas = jnp.asarray(diffusion.alphas)
+
+            def loss_fn(params, model=model, cfg=cfg, state=state,
+                        diffusion=diffusion, alphas=alphas):
+                tkey, nkey = jax.random.split(jax.random.PRNGKey(1))
+                t = sample_timesteps(tkey, batch.num_graphs,
+                                     diffusion.num_timesteps)
+                pos_p, a = perturb_positions(nkey, batch, alphas, t)
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch.replace(pos=pos_p), train=True,
+                    mutable=["batch_stats"])
+                return diffusion_loss(out, batch, pos_p, a,
+                                      cfg.model.cutoff).loss
+
+            grads_out.append(jax.jit(jax.grad(loss_fn))(state.params))
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_out[0]),
+            jax.tree_util.tree_leaves_with_path(grads_out[1]),
+        ):
+            assert pa == pb
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max()
+            if scale < 1e-4:
+                continue
+            assert np.abs(a - b).max() < 1e-5 + 1e-4 * scale, (
+                pa, np.abs(a - b).max(), scale)
