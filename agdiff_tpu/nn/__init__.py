@@ -6,8 +6,10 @@ from agdiff_tpu.nn.common import (  # noqa: F401
 )
 from agdiff_tpu.nn.mlp import MultiLayerPerceptron  # noqa: F401
 from agdiff_tpu.nn.edge_encoders import (  # noqa: F401
-    MLPEdgeEncoder,
+    AsymmetricSineCosineSmearing,
     GaussianSmearingEdgeEncoder,
+    MLPEdgeEncoder,
+    SymmetricCosineSmearing,
     get_edge_encoder,
 )
 from agdiff_tpu.nn.schnet import (  # noqa: F401

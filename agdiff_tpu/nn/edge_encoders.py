@@ -93,6 +93,46 @@ class GaussianSmearing(nn.Module):
         return jnp.exp(coeff * diff * diff)
 
 
+class AsymmetricSineCosineSmearing(nn.Module):
+    """Angle basis: sin(k*angle) for k=1..num_basis//2 concatenated with
+    cos(l*angle) for l=1..ceil(num_basis/2) — the cosine half distinguishes
+    0 from pi (reference: schnet.py:30-52; unused by the shipped model,
+    provided for inventory completeness)."""
+
+    num_basis: int = 50
+
+    @property
+    def num_basis_out(self) -> int:
+        return self.num_basis
+
+    @nn.compact
+    def __call__(self, angle):
+        k = self.num_basis // 2
+        el = self.num_basis - k
+        freq_k = jnp.arange(1, k + 1, dtype=angle.dtype)
+        freq_l = jnp.arange(1, el + 1, dtype=angle.dtype)
+        a = angle[..., None]
+        return jnp.concatenate(
+            [jnp.sin(a * freq_k), jnp.cos(a * freq_l)], axis=-1
+        )
+
+
+class SymmetricCosineSmearing(nn.Module):
+    """cos(k*angle), k=1..num_basis — symmetric under angle -> -angle
+    (reference: schnet.py:55-68; unused by the shipped model)."""
+
+    num_basis: int = 50
+
+    @property
+    def num_basis_out(self) -> int:
+        return self.num_basis
+
+    @nn.compact
+    def __call__(self, angle):
+        freq_k = jnp.arange(1, self.num_basis + 1, dtype=angle.dtype)
+        return jnp.cos(angle[..., None] * freq_k)
+
+
 class GaussianSmearingEdgeEncoder(nn.Module):
     """RBF smearing + bond embedding (reference: edge.py:17-42 — which is
     broken in the reference: it references an un-imported GaussianSmearing and

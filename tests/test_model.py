@@ -191,3 +191,33 @@ class TestGaussianEdgeEncoder:
         variables = model.init(jax.random.PRNGKey(0), tiny_batch, train=False)
         out = model.apply(variables, tiny_batch, train=False)
         assert np.isfinite(np.asarray(out.edge_inv_global)).all()
+
+
+class TestSmearings:
+    def test_sine_cosine_smearings_match_reference_formulas(self):
+        """schnet.py:30-68 golden: sin(k*a) ++ cos(l*a) and cos(k*a)."""
+        from agdiff_tpu.nn import (
+            AsymmetricSineCosineSmearing,
+            SymmetricCosineSmearing,
+        )
+
+        angle = jnp.asarray(np.linspace(-np.pi, np.pi, 17, dtype=np.float32))
+        asym = AsymmetricSineCosineSmearing(num_basis=7)
+        out = asym.apply({}, angle)
+        assert out.shape == (17, 7)
+        a = np.asarray(angle)[:, None]
+        golden = np.concatenate(
+            [np.sin(a * np.arange(1, 4)), np.cos(a * np.arange(1, 5))],
+            axis=-1)
+        np.testing.assert_allclose(np.asarray(out), golden, atol=1e-6)
+        # 0 and pi must embed differently (the cos half)
+        z = np.asarray(asym.apply({}, jnp.asarray([0.0, np.pi])))
+        assert np.abs(z[0] - z[1]).max() > 0.5
+
+        sym = SymmetricCosineSmearing(num_basis=5)
+        out = sym.apply({}, angle)
+        np.testing.assert_allclose(
+            np.asarray(out), np.cos(a * np.arange(1, 6)), atol=1e-6)
+        # symmetric under angle negation
+        np.testing.assert_allclose(
+            np.asarray(sym.apply({}, -angle)), np.asarray(out), atol=1e-6)
