@@ -1,38 +1,38 @@
-"""Monolithic per-step Pallas kernel: the ENTIRE eval-mode forward in VMEM.
+"""Monolithic per-step Pallas kernel: the ENTIRE eval-mode forward in VMEM,
+computed over the UNORDERED pair set.
 
 The sampler's per-step forward (reference hot loop:
-src/agdiff/models/epsnet/dualenc.py:478-545) is HBM-bandwidth bound when run
-as XLA ops: every (B, N, N, C) edge tensor round-trips to HBM between the
-edge encoder, the 12 CFConv filter stacks, the GIN layers and the two
-pair-score MLPs (~12% MFU measured in round 1). This kernel computes the
-whole forward for a TILE of graphs in one pallas_call — edge features are
-produced, consumed by all 22 consumers, and die without ever leaving VMEM.
-Per step the kernel reads only distances/masks/types (0.5 MB) + weights
-(~3 MB, constant across grid steps) and writes the two (B, N, N) score
-planes.
+src/agdiff/models/epsnet/dualenc.py:478-545) has two costs on TPU:
+  1. HBM traffic — the XLA path round-trips every (B, N, N, C) edge tensor
+     between its 22 consumers (~12% MFU measured round 1);
+  2. VPU transcendentals — the learnable shifted-softplus of the 12 CFConv
+     filter MLPs and the edge-encoder GELUs dominate per-block time
+     (measured 0.28 ms/block at B=128 ~= the arithmetic softplus cost of the
+     (B*N*N, F) filter tensors; the matmuls are ~0.04 ms).
 
-Layout rules honored throughout (Mosaic rejects lane-dim-changing reshapes):
-  * per-edge vectors live as (Bt*N, N, C) / (Bt*N*N, C) — reshapes only
-    merge/split LEADING dims, the minor (lane) dim is always C;
-  * per-edge scalars live as (Bt*N, N) and are lifted to vectors with
-    expand_dims broadcasts ([:, :, None] * (C,)), never reshape;
-  * neighbor aggregation sum_j W[b,i,j,:] * x[b,j,:] is an unrolled j-loop
-    of 2D lane-aligned FMAs (the 3D middle-axis reduce is the pattern that
-    fails Mosaic layout inference in bf16 on this toolchain);
-  * tiny output dims (DistanceWeighting 32->1, attention H/2->1, score
-    64->1) are lane reductions, not matmuls.
+This kernel attacks both: the whole forward for a TILE of graphs runs in one
+pallas_call (nothing leaves VMEM), and every per-edge computation runs over
+the N(N-1)/2 UNORDERED pairs instead of all N^2 ordered pairs — every
+per-edge quantity is symmetric in (i, j) (distances, types, edge features,
+filter weights, pair scores), so this halves both matmul and transcendental
+volume exactly.
 
-Statically-foldable work is hoisted OUT of the 5000-step scan entirely:
-eval-mode BatchNorm folds into the linears (as in models/fast_forward.py),
-and the bond-embedding halves of the edge-encoder concat layers
-(edge.py:57-58: concat([*, bond]) @ W == * @ W_top + bond @ W_bot) fold into
-two 128-row TYPE TABLES gathered in-kernel by a one-hot matmul — bond types
-do not change during the ladder.
+Neighbor aggregation over packed pairs becomes MXU matmuls with static
+block-diagonal 0/1 expansion matrices (EI/EJ select pair-endpoint node rows;
+their transposes scatter-add pair messages back to nodes):
+    Xj = EJ @ x                            # (Rp, F) node features at pair j-ends
+    acc = EI^T @ (Wp * Xj) + EJ^T @ (Wp * Xi)
+replacing the dense sum_j W[b,i,j,:] x[b,j,:] — exact, no gathers, no
+lane-dim-changing reshapes (the Mosaic constraint on this toolchain).
 
-conv2's half-width filter path (num_filters//2, schnet.py:189-191) is
-zero-padded to full width so the 12 convs share stacked weights: padded
-filter columns are exactly 0 through ssp (softplus(0) - log2 = 0), padded
-lin2 rows contribute 0 — bit-identical math, uniform shapes.
+Statically-foldable work is hoisted OUT of the 5000-step scan: eval-mode
+BatchNorm folds into the linears (as in models/fast_forward.py) and the
+bond-embedding halves of the edge-encoder concat layers (edge.py:57-58)
+fold into two 128-row TYPE TABLES gathered in-kernel by one-hot matmul.
+
+The kernel emits PACKED (B, P) score planes; the XLA wrapper mirrors them to
+the dense (B, N, N) layout via a static pair_id gather (values identical —
+scores are symmetric).
 """
 
 from __future__ import annotations
@@ -58,14 +58,6 @@ LN2 = 0.6931471805599453
 TYPE_LANES = 128  # one-hot width for the bond-type tables (types are < 100)
 
 
-def _pad_cols(a, width):
-    a = np.asarray(a)
-    if a.shape[-1] == width:
-        return a
-    pad = [(0, 0)] * (a.ndim - 1) + [(0, width - a.shape[-1])]
-    return np.pad(a, pad)
-
-
 def _pad_rows(a, height):
     a = np.asarray(a)
     if a.shape[0] == height:
@@ -76,14 +68,13 @@ def _pad_rows(a, height):
 
 def _prepare_weights(config: ModelConfig, variables: Dict[str, Any],
                      compute_dtype) -> Dict[str, jnp.ndarray]:
-    """Fold BN + bond tables, stack per-conv/per-block weights, pad conv2's
-    half-width filter path to full width. Returns name -> array (host)."""
+    """Fold BN + bond tables, stack per-conv/per-block weights (conv1 and
+    conv2 stacks kept at their true widths F and F//2)."""
     from agdiff_tpu.models.fast_forward import _fold_bn, _linear
 
     p = jax.tree_util.tree_map(np.asarray, variables)["params"]
     s = jax.tree_util.tree_map(np.asarray, variables)["batch_stats"]
     H = config.hidden_dim
-    F = H  # num_filters == hidden_dim (dualenc.py:70-77)
     cd = compute_dtype
 
     if "edge_encoder_local" in p:
@@ -111,54 +102,53 @@ def _prepare_weights(config: ModelConfig, variables: Dict[str, Any],
     w["w2a"] = np.asarray(w2)[:H]
     w["w3"], w["b3"] = np.asarray(w3), np.asarray(b3)[None, :]
 
-    # ---- SchNet: 12 convs stacked (conv2 padded to F), 6 block tails ----
+    # ---- SchNet: conv1/conv2 stacks (true widths) + block tails ----
     sg, ss = p["encoder_global"], s["encoder_global"]
-    convs = {k: [] for k in ("dw1k", "dw1b", "dw2k", "dw2b", "beta", "fa",
-                             "ba", "fb", "bb", "l1k", "l1b", "l2k", "l2b")}
-    blocks = {k: [] for k in ("act_beta", "link", "linb", "att0k", "att0b",
-                              "att1k", "att1b", "se0", "se1")}
-    for i in range(config.num_convs):
-        bp, bs = sg[f"interactions_{i}"], ss[f"interactions_{i}"]
-        for name in ("conv1", "conv2"):
-            cp, cs = bp[name], bs[name]
+    for ci, name in ((1, "conv1"), (2, "conv2")):
+        st = {k: [] for k in ("dw1k", "dw1b", "dw2k", "dw2b", "beta", "fa",
+                              "ba", "fb", "bb", "l1k", "l1b", "l2k", "l2b")}
+        for i in range(config.num_convs):
+            cp = sg[f"interactions_{i}"][name]
+            cs = ss[f"interactions_{i}"][name]
             l1k, l1b = _fold_bn(*_linear(cp["lin1"]), cp["norm1"],
                                 cs["norm1"])
             l2k, l2b = _fold_bn(*_linear(cp["lin2"]), cp["norm2"],
                                 cs["norm2"])
-            fa, ba = _linear(cp["filter_0"])
-            fb, bb = _linear(cp["filter_1"])
-            convs["dw1k"].append(
+            st["dw1k"].append(
                 np.asarray(cp["distance_weighting"]["layer1"]["kernel"])[0])
-            convs["dw1b"].append(
+            st["dw1b"].append(
                 np.asarray(cp["distance_weighting"]["layer1"]["bias"]))
-            convs["dw2k"].append(
+            st["dw2k"].append(
                 np.asarray(cp["distance_weighting"]["layer2"]["kernel"])[:, 0])
-            convs["dw2b"].append(
+            st["dw2b"].append(
                 np.asarray(cp["distance_weighting"]["layer2"]["bias"]))
-            convs["beta"].append(
-                np.asarray(cp["filter_act"]["beta"]).reshape(1))
-            convs["fa"].append(_pad_cols(fa, F))
-            convs["ba"].append(_pad_cols(ba, F))
-            convs["fb"].append(_pad_rows(_pad_cols(fb, F), F))
-            convs["bb"].append(_pad_cols(bb, F))
-            convs["l1k"].append(_pad_cols(np.asarray(l1k), F))
-            convs["l1b"].append(_pad_cols(np.asarray(l1b), F))
-            convs["l2k"].append(_pad_rows(np.asarray(l2k), F))
-            convs["l2b"].append(np.asarray(l2b))
-        blocks["act_beta"].append(
-            np.asarray(bp["act"]["beta"]).reshape(1))
+            st["beta"].append(np.asarray(cp["filter_act"]["beta"]).reshape(1))
+            st["fa"].append(np.asarray(cp["filter_0"]["kernel"]))
+            st["ba"].append(np.asarray(cp["filter_0"]["bias"]))
+            st["fb"].append(np.asarray(cp["filter_1"]["kernel"]))
+            st["bb"].append(np.asarray(cp["filter_1"]["bias"]))
+            st["l1k"].append(np.asarray(l1k))
+            st["l1b"].append(np.asarray(l1b))
+            st["l2k"].append(np.asarray(l2k))
+            st["l2b"].append(np.asarray(l2b))
+        for k, v in st.items():
+            w[f"c{ci}_{k}"] = np.stack(v)
+
+    blocks = {k: [] for k in ("act_beta", "link", "linb", "att0k", "att0b",
+                              "att1k", "att1b", "se0", "se1")}
+    for i in range(config.num_convs):
+        bp = sg[f"interactions_{i}"]
+        blocks["act_beta"].append(np.asarray(bp["act"]["beta"]).reshape(1))
         blocks["link"].append(np.asarray(bp["lin"]["kernel"]))
         blocks["linb"].append(np.asarray(bp["lin"]["bias"]))
         blocks["att0k"].append(np.asarray(bp["attention_0"]["kernel"]))
         blocks["att0b"].append(np.asarray(bp["attention_0"]["bias"]))
         blocks["att1k"].append(np.asarray(bp["attention_1"]["kernel"])[:, 0])
         blocks["att1b"].append(np.asarray(bp["attention_1"]["bias"]))
-        blocks["se0"].append(_pad_cols(
-            np.asarray(sg[f"scaling_modules_{i}"]["fc_0"]["kernel"]), F))
-        blocks["se1"].append(_pad_rows(
-            np.asarray(sg[f"scaling_modules_{i}"]["fc_1"]["kernel"]), F))
-    for k, v in convs.items():
-        w[f"cv_{k}"] = np.stack(v)
+        blocks["se0"].append(
+            np.asarray(sg[f"scaling_modules_{i}"]["fc_0"]["kernel"]))
+        blocks["se1"].append(
+            np.asarray(sg[f"scaling_modules_{i}"]["fc_1"]["kernel"]))
     for k, v in blocks.items():
         w[f"bk_{k}"] = np.stack(v)
     w["schnet_emb"] = np.asarray(sg["embedding"]["embedding"])
@@ -196,9 +186,10 @@ def _prepare_weights(config: ModelConfig, variables: Dict[str, Any],
     # matmul operands in compute dtype, biases/scalars/tables f32
     out: Dict[str, jnp.ndarray] = {}
     matmul_keys = {"kfe", "w0a", "w1", "w2a", "w3", "table0", "table2",
-                   "cv_fa", "cv_fb", "cv_l1k", "cv_l2k", "bk_link",
-                   "bk_att0k", "bk_se0", "bk_se1", "gn_l0k", "gn_l1k",
-                   "sc_g1a", "sc_g1e", "sc_g2k"}
+                   "bk_link", "bk_att0k", "bk_se0", "bk_se1",
+                   "gn_l0k", "gn_l1k", "sc_g1a", "sc_g1e", "sc_g2k"}
+    for ci in (1, 2):
+        matmul_keys |= {f"c{ci}_fa", f"c{ci}_fb", f"c{ci}_l1k", f"c{ci}_l2k"}
     for k, v in w.items():
         dt = cd if k in matmul_keys else np.float32
         out[k] = jnp.asarray(np.asarray(v), dtype=dt)
@@ -206,15 +197,16 @@ def _prepare_weights(config: ModelConfig, variables: Dict[str, Any],
 
 
 # canonical weight order for the kernel's positional refs
+_CONV_KEYS = ("dw1k", "dw1b", "dw2k", "dw2b", "beta", "fa", "ba", "fb", "bb",
+              "l1k", "l1b", "l2k", "l2b")
 _WEIGHT_ORDER = (
-    "kfe", "bfe", "table0", "w0a", "w1", "b1", "table2", "w2a", "w3", "b3",
-    "cv_dw1k", "cv_dw1b", "cv_dw2k", "cv_dw2b", "cv_beta",
-    "cv_fa", "cv_ba", "cv_fb", "cv_bb", "cv_l1k", "cv_l1b", "cv_l2k",
-    "cv_l2b",
-    "bk_act_beta", "bk_link", "bk_linb", "bk_att0k", "bk_att0b", "bk_att1k",
-    "bk_att1b", "bk_se0", "bk_se1",
-    "gn_l0k", "gn_l0b", "gn_l1k", "gn_l1b",
-    "sc_g1a", "sc_g1e", "sc_g1b", "sc_g2k", "sc_g2b", "sc_g3k", "sc_g3b",
+    ("kfe", "bfe", "table0", "w0a", "w1", "b1", "table2", "w2a", "w3", "b3")
+    + tuple(f"c1_{k}" for k in _CONV_KEYS)
+    + tuple(f"c2_{k}" for k in _CONV_KEYS)
+    + ("bk_act_beta", "bk_link", "bk_linb", "bk_att0k", "bk_att0b",
+       "bk_att1k", "bk_att1b", "bk_se0", "bk_se1")
+    + ("gn_l0k", "gn_l0b", "gn_l1k", "gn_l1b")
+    + ("sc_g1a", "sc_g1e", "sc_g1b", "sc_g2k", "sc_g2b", "sc_g3k", "sc_g3b")
 )
 
 
@@ -222,29 +214,66 @@ def _ssp(x, beta):
     return jax.nn.softplus(beta * x) - LN2
 
 
-def _mono_kernel(dist_ref, emask_ref, lmask_ref, types_ref, h0_ref, hl0_ref,
-                 *refs, bt, n, h, f, num_convs, num_local, smooth, cutoff,
-                 mlp_act, cd):
+def _pair_maps(n: int, p_pad: int):
+    """Static unordered-pair index machinery for bucket size n."""
+    iu, ju = np.triu_indices(n, k=1)
+    p = len(iu)
+    pair_id = np.zeros((n, n), np.int32)
+    pair_id[iu, ju] = np.arange(p)
+    pair_id = pair_id + pair_id.T            # diagonal -> pair 0 (masked)
+    ei = np.zeros((p_pad, n), np.float32)
+    ej = np.zeros((p_pad, n), np.float32)
+    ei[np.arange(p), iu] = 1.0
+    ej[np.arange(p), ju] = 1.0
+    return iu, ju, pair_id, ei, ej
+
+
+def _block_diag(m: np.ndarray, bt: int) -> np.ndarray:
+    """bt copies of m on the block diagonal: (bt*r, bt*c)."""
+    r, c = m.shape
+    out = np.zeros((bt * r, bt * c), m.dtype)
+    for b in range(bt):
+        out[b * r:(b + 1) * r, b * c:(b + 1) * c] = m
+    return out
+
+
+def _mono_kernel(dp_ref, em_ref, lm_ref, tp_ref, h0_ref, hl0_ref,
+                 ei_ref, ej_ref, *refs, bt, n, pp, h, f, num_convs,
+                 num_local, smooth, cutoff, mlp_act, cd):
     W = dict(zip(_WEIGHT_ORDER, refs[: len(_WEIGHT_ORDER)]))
     out_g_ref, out_l_ref = refs[len(_WEIGHT_ORDER):]
     act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[mlp_act]
-    r2 = bt * n        # (graph, node-i) rows
-    r3 = bt * n * n    # (graph, i, j) edge rows
+    r2 = bt * n      # node rows
+    rp = bt * pp     # packed pair rows
     f32 = jnp.float32
 
-    d = dist_ref[:].reshape(r2, n)                       # f32
-    em = emask_ref[:].reshape(r2, n)                     # f32 0/1
-    lm = lmask_ref[:].reshape(r2, n)
-    types = types_ref[:].reshape(r2, n)
+    dp = dp_ref[:]                     # (bt, pp) f32 pair distances
+    em = em_ref[:]                     # (bt, pp) f32 0/1 working-graph mask
+    lm = lm_ref[:]                     # (bt, pp) f32 0/1 bond mask
+    tp = tp_ref[:]                     # (bt, pp) i32 bond types
+    EI = ei_ref[:]                     # (rp, r2) cd block-diag endpoint-i
+    EJ = ej_ref[:]                     # (rp, r2) cd block-diag endpoint-j
+
+    def expand(x):
+        """node rows (r2, F) -> pair rows (rp, F) at each endpoint."""
+        return (jnp.dot(EI, x, preferred_element_type=f32).astype(cd),
+                jnp.dot(EJ, x, preferred_element_type=f32).astype(cd))
+
+    def contract(y1, y2):
+        """scatter-add pair messages back to nodes: EI^T y1 + EJ^T y2."""
+        dn = (((0,), (0,)), ((), ()))
+        return (jax.lax.dot_general(EI, y1, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(EJ, y2, dn,
+                                      preferred_element_type=f32))
 
     # ---- bond-type one-hot (types < 100 < TYPE_LANES) ----
-    lane = jax.lax.broadcasted_iota(jnp.int32, (r2, n, TYPE_LANES), 2)
-    oh = (types[:, :, None] == lane).astype(cd).reshape(r3, TYPE_LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, pp, TYPE_LANES), 2)
+    oh = (tp[:, :, None] == lane).astype(cd).reshape(rp, TYPE_LANES)
 
-    # ---- edge encoder (bond halves pre-folded into tables) ----
-    d3 = d[:, :, None]                                   # (r2, n, 1)
+    # ---- edge encoder over unordered pairs ----
+    d3 = dp[:, :, None]                                  # (bt, pp, 1)
     expanded = jax.nn.gelu(d3 * W["kfe"][0] + W["bfe"][0])
-    expanded = expanded.reshape(r3, h).astype(cd)
+    expanded = expanded.reshape(rp, h).astype(cd)
     bond0 = jnp.dot(oh, W["table0"][:], preferred_element_type=f32)
     x = jax.nn.gelu(
         jnp.dot(expanded, W["w0a"][:], preferred_element_type=f32) + bond0)
@@ -256,57 +285,46 @@ def _mono_kernel(dist_ref, emask_ref, lmask_ref, types_ref, h0_ref, hl0_ref,
         + bond2)
     e = jnp.dot(y.astype(cd), W["w3"][:],
                 preferred_element_type=f32) + W["b3"][:]
-    ecd = e.astype(cd)                                   # (r3, h) lives on
-    e3 = ecd.reshape(r2, n, h)
+    ecd = e.astype(cd)                                   # (rp, h) lives on
 
     # ---- cutoff envelope (schnet.py:140-149) ----
     if smooth:
-        env = 0.5 * (jnp.cos(d * (np.pi / cutoff)) + 1.0)
-        env = env * (d <= cutoff)
+        env = 0.5 * (jnp.cos(dp * (np.pi / cutoff)) + 1.0)
+        env = env * (dp <= cutoff)
     else:
-        env = jnp.exp(-((d - cutoff) ** 2) / (2.0 * cutoff * cutoff))
-    env = env * (d <= cutoff) * (d >= 0.0) * em          # (r2, n)
+        env = jnp.exp(-((dp - cutoff) ** 2) / (2.0 * cutoff * cutoff))
+    env = env * (dp <= cutoff) * (dp >= 0.0) * em        # (bt, pp)
 
-    def aggregate(w3cd, xn):
-        """acc[b,i,:] = sum_j w[b,i,j,:] * xn[b,j,:] — unrolled 2D FMAs."""
-        xn3 = xn.reshape(bt, n, f)
-        acc = jnp.zeros((r2, f), f32)
-        for j in range(n):
-            wj = w3cd[:, j, :].astype(f32)
-            xj = jnp.broadcast_to(
-                xn3[:, j:j + 1, :], (bt, n, f)).reshape(r2, f).astype(f32)
-            acc = acc + wj * xj
-        return acc
+    def cf_pathway(prefix, c, hg_cd, fdim):
+        """One CFConv pathway on packed pairs; returns (r2, H) f32."""
+        g = lambda k: W[f"{prefix}_{k}"]
+        xdw = jax.nn.relu(d3 * g("dw1k")[c:c + 1, :] + g("dw1b")[c:c + 1, :])
+        lw = jax.nn.sigmoid(
+            jnp.sum(xdw * g("dw2k")[c:c + 1, :], axis=-1) + g("dw2b")[c, 0])
+        wedge = lw * env                                 # (bt, pp)
+        wflt = _ssp(
+            jnp.dot(ecd, g("fa")[c], preferred_element_type=f32)
+            + g("ba")[c:c + 1, :], g("beta")[c, 0])
+        wflt = jnp.dot(wflt.astype(cd), g("fb")[c],
+                       preferred_element_type=f32) + g("bb")[c:c + 1, :]
+        wp = (wflt.reshape(bt, pp, fdim)
+              * wedge[:, :, None]).reshape(rp, fdim).astype(cd)
+        xn = jax.nn.leaky_relu(
+            jnp.dot(hg_cd, g("l1k")[c], preferred_element_type=f32)
+            + g("l1b")[c:c + 1, :], negative_slope=0.2).astype(cd)
+        xi, xj = expand(xn)
+        acc = contract(wp * xj, wp * xi)                 # (r2, fdim) f32
+        return jnp.dot(acc.astype(cd), g("l2k")[c],
+                       preferred_element_type=f32) + g("l2b")[c:c + 1, :]
 
     # ---- SchNet global branch ----
     hg = h0_ref[:].reshape(r2, h).astype(f32)
     for b_i in range(num_convs):
-        ps = []
-        for c in (2 * b_i, 2 * b_i + 1):
-            # DistanceWeightingNetwork (1 -> 32 -> 1, lane reduce)
-            xdw = jax.nn.relu(d3 * W["cv_dw1k"][c:c + 1, :]
-                              + W["cv_dw1b"][c:c + 1, :])
-            lw = jax.nn.sigmoid(
-                jnp.sum(xdw * W["cv_dw2k"][c:c + 1, :], axis=-1)
-                + W["cv_dw2b"][c, 0])
-            wedge = lw * env                              # (r2, n)
-            # filter MLP over edges
-            wflt = _ssp(
-                jnp.dot(ecd, W["cv_fa"][c], preferred_element_type=f32)
-                + W["cv_ba"][c:c + 1, :], W["cv_beta"][c, 0])
-            wflt = jnp.dot(wflt.astype(cd), W["cv_fb"][c],
-                           preferred_element_type=f32) + W["cv_bb"][c:c + 1, :]
-            w3cd = (wflt.reshape(r2, n, f) * wedge[:, :, None]).astype(cd)
-            # node path + aggregation
-            xn = jax.nn.leaky_relu(
-                jnp.dot(hg.astype(cd), W["cv_l1k"][c],
-                        preferred_element_type=f32)
-                + W["cv_l1b"][c:c + 1, :], negative_slope=0.2).astype(cd)
-            acc = aggregate(w3cd, xn)
-            p = jnp.dot(acc.astype(cd), W["cv_l2k"][c],
-                        preferred_element_type=f32) + W["cv_l2b"][c:c + 1, :]
-            ps.append(p)
-        comb = _ssp(jnp.concatenate(ps, axis=-1), W["bk_act_beta"][b_i, 0])
+        hg_cd = hg.astype(cd)
+        p1 = cf_pathway("c1", b_i, hg_cd, f)
+        p2 = cf_pathway("c2", b_i, hg_cd, f // 2)
+        comb = _ssp(jnp.concatenate([p1, p2], axis=-1),
+                    W["bk_act_beta"][b_i, 0])
         comb = jnp.dot(comb.astype(cd), W["bk_link"][b_i],
                        preferred_element_type=f32) + W["bk_linb"][b_i:b_i + 1]
         gate = jax.nn.relu(
@@ -323,37 +341,32 @@ def _mono_kernel(dist_ref, emask_ref, lmask_ref, types_ref, h0_ref, hl0_ref,
                                     preferred_element_type=f32))
         hg = hg + out * se
 
-    def pair_scores(node, s_i, mask2):
-        hcd = node.astype(cd)
-        hi = jnp.broadcast_to(hcd[:, None, :], (r2, n, h))
-        hj = jnp.broadcast_to(
-            hcd.reshape(bt, n, h)[:, None, :, :], (bt, n, n, h)
-        ).reshape(r2, n, h)
-        prod = (hi * hj).reshape(r3, h)
+    def pair_scores(node, s_i, mask_p):
+        """Packed scores (bt, pp): MLP3(concat(h_i * h_j, e_p))."""
+        hi, hj = expand(node.astype(cd))
+        prod = hi * hj                                   # (rp, h)
         xs = act(jnp.dot(prod, W["sc_g1a"][s_i], preferred_element_type=f32)
                  + jnp.dot(ecd, W["sc_g1e"][s_i], preferred_element_type=f32)
                  + W["sc_g1b"][s_i:s_i + 1])
         ys = act(jnp.dot(xs.astype(cd), W["sc_g2k"][s_i],
                          preferred_element_type=f32)
                  + W["sc_g2b"][s_i:s_i + 1])
-        y3 = ys.reshape(r2, n, ys.shape[-1])
+        y3 = ys.reshape(bt, pp, ys.shape[-1])
         s = jnp.sum(y3 * W["sc_g3k"][s_i][None, None, :], axis=-1) \
             + W["sc_g3b"][s_i, 0]
-        return (s * mask2).reshape(bt, n, n)
+        return s * mask_p
 
     out_g_ref[:] = pair_scores(hg, 0, em)
 
     # ---- GIN local branch ----
+    lmc = lm.reshape(rp, 1)
+    e32 = e  # f32 (rp, h) — GIN messages add in f32
     hl = hl0_ref[:].reshape(r2, h).astype(f32)
     for li in range(num_local):
-        hl3 = hl.reshape(bt, n, h)
-        acc = jnp.zeros((r2, h), f32)
-        for j in range(n):
-            ej = e3[:, j, :].astype(f32)
-            xj = jnp.broadcast_to(
-                hl3[:, j:j + 1, :], (bt, n, h)).reshape(r2, h)
-            acc = acc + lm[:, j:j + 1] * jax.nn.relu(xj + ej)
-        o = hl + acc
+        xi, xj = expand(hl.astype(cd))
+        y1 = (jax.nn.relu(xj.astype(f32) + e32) * lmc).astype(cd)
+        y2 = (jax.nn.relu(xi.astype(f32) + e32) * lmc).astype(cd)
+        o = hl + contract(y1, y2)
         o = jax.nn.relu(jnp.dot(o.astype(cd), W["gn_l0k"][li],
                                 preferred_element_type=f32)
                         + W["gn_l0b"][li:li + 1])
@@ -368,12 +381,12 @@ def _mono_kernel(dist_ref, emask_ref, lmask_ref, types_ref, h0_ref, hl0_ref,
 
 def build_monolithic_forward(
     config: ModelConfig, variables: Dict[str, Any],
-    compute_dtype=jnp.bfloat16, tile: int = 8, interpret=None,
+    compute_dtype=jnp.bfloat16, tile: int = 4, interpret=None,
 ):
     """Returns forward(batch, extend_order=..., extend_radius=...) ->
     ModelOutput, value-equivalent to models/fast_forward.py (itself
     equivalence-tested against the flax module path). `tile` graphs are
-    processed per grid step; B must be divisible by the effective tile."""
+    processed per grid step (falls back to a divisor of B)."""
     cfg = config
     if cfg.edge_encoder != "mlp":
         raise NotImplementedError("monolithic kernel: mlp edge encoder only")
@@ -413,6 +426,26 @@ def build_monolithic_forward(
         bt = tile
         while b % bt:
             bt -= 1
+        p_real = n * (n - 1) // 2
+        pp = -(-p_real // 128) * 128     # pad pairs to a lane multiple
+        iu_np, ju_np, pair_id_np, ei_np, ej_np = _pair_maps(n, pp)
+        iu, ju = jnp.asarray(iu_np), jnp.asarray(ju_np)
+        pair_id = jnp.asarray(pair_id_np)
+        ei_big = jnp.asarray(_block_diag(ei_np, bt), compute_dtype)
+        ej_big = jnp.asarray(_block_diag(ej_np, bt), compute_dtype)
+
+        def pack(a, dtype):
+            """(B, N, N) -> (B, PP) on the unordered upper triangle."""
+            packed = a[:, iu, ju].astype(dtype)
+            pad = pp - p_real
+            if pad:
+                packed = jnp.pad(packed, ((0, 0), (0, pad)))
+            return packed
+
+        dp = pack(dist, jnp.float32)
+        em_p = pack(edge_mask, jnp.float32)
+        lm_p = pack(local_mask, jnp.float32)
+        tp_p = pack(edge_type, jnp.int32)
 
         # node embeddings (position-independent; tiny XLA gathers)
         h0 = schnet_emb[batch.atom_type]
@@ -422,19 +455,21 @@ def build_monolithic_forward(
         hl0 = gin_emb[batch.atom_type]
 
         kernel = functools.partial(
-            _mono_kernel, bt=bt, n=n, h=H, f=H,
+            _mono_kernel, bt=bt, n=n, pp=pp, h=H, f=H,
             num_convs=cfg.num_convs, num_local=cfg.num_convs_local,
             smooth=cfg.smooth_conv, cutoff=cfg.cutoff, mlp_act=cfg.mlp_act,
             cd=compute_dtype,
         )
         vm = pltpu.VMEM
         data_specs = [
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((bt, n, H), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((bt, n, H), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec(ei_big.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(ej_big.shape, lambda i: (0, 0), memory_space=vm),
         ]
         weight_specs = [
             pl.BlockSpec(a.shape, functools.partial(
@@ -442,33 +477,33 @@ def build_monolithic_forward(
             for a in weight_args
         ]
         out_specs = (
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((bt, pp), lambda i: (i, 0), memory_space=vm),
         )
-        eg, el_ = pl.pallas_call(
+        sg, sl = pl.pallas_call(
             kernel,
             grid=(b // bt,),
             in_specs=data_specs + weight_specs,
             out_specs=out_specs,
             out_shape=(
-                jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-                jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, pp), jnp.float32),
+                jax.ShapeDtypeStruct((b, pp), jnp.float32),
             ),
-            # the whole-forward working set at tile=8 is ~64 MB; v5e has
-            # 128 MB VMEM — lift XLA's conservative 16 MB scoped default
+            # whole-forward working set; v5e has 128 MB VMEM — lift XLA's
+            # conservative 16 MB scoped default
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(
-            dist,
-            edge_mask.astype(jnp.float32),
-            local_mask.astype(jnp.float32),
-            edge_type.astype(jnp.int32),
-            h0.astype(compute_dtype),
-            hl0.astype(compute_dtype),
+            dp, em_p, lm_p, tp_p,
+            h0.astype(compute_dtype), hl0.astype(compute_dtype),
+            ei_big, ej_big,
             *weight_args,
         )
+        # mirror packed symmetric scores to the dense layout
+        eg = jnp.where(edge_mask, sg[:, pair_id], 0.0)
+        el_ = jnp.where(local_mask, sl[:, pair_id], 0.0)
         return ModelOutput(
             edge_inv_global=eg,
             edge_inv_local=el_,
