@@ -101,6 +101,11 @@ class TrainConfig:
     # robustness; the reference has no training-time NaN handling — its only
     # guard is the sampler's, dualenc.py:539-541). Off by default for parity.
     skip_nonfinite_updates: bool = False
+    # Execute this many optimizer steps per device dispatch (lax.scan over
+    # pre-stacked batches). >1 amortizes per-program launch latency — large
+    # on a remote-tunneled chip, nonzero everywhere. 1 = reference-style
+    # one-step-per-dispatch. Logging/validation cadence rounds to chunks.
+    step_chunk: int = 1
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 

@@ -107,6 +107,42 @@ def make_train_step(model, config: Config, donate: bool = True,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_chunked_train_step(model, config: Config, chunk: int,
+                            donate: bool = True):
+    """K = chunk optimizer steps per device dispatch, as one lax.scan over a
+    leading-stacked batch pytree (each leaf (K, ...)). One program launch
+    per K steps — the per-dispatch latency (large through a remote tunnel,
+    nonzero everywhere) amortizes by K. Values are bit-identical to calling
+    the single step K times with the same per-step keys.
+
+    Returns (state, stacked_batches, key) -> (state, metrics-of-last-step).
+    """
+    inner = make_train_step(model, config, jit=False)
+
+    def chunked(state: TrainState, batches: GraphBatch, key):
+        keys = jax.random.split(key, chunk)
+
+        def body(st, xs):
+            b, k = xs
+            return inner(st, b, k)
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return jax.jit(chunked, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """Stack a list of same-shape GraphBatch pytrees on a new leading axis
+    (host-side collation for the chunked step)."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+    )
+
+
 def make_eval_step(model, config: Config):
     """Validation step. The reference's validate() runs in model.eval() mode
     (train.py:165 — BatchNorm uses running statistics) and accumulates

@@ -166,15 +166,43 @@ class Trainer:
             data = (
                 (b, shard_graph_batch(batch, self.mesh)) for b, batch in data
             )
+        # step_chunk > 1: run K optimizer steps per device dispatch
+        # (lax.scan), amortizing per-program launch latency. Only groups of
+        # same-bucket batches chunk; mixed groups fall back to single steps.
+        chunk = max(1, int(cfg.step_chunk)) if self.mesh is None else 1
+        chunked_step = None
+        if chunk > 1:
+            from agdiff_tpu.train.train_step import (
+                make_chunked_train_step,
+                stack_batches,
+            )
+
+            chunked_step = make_chunked_train_step(
+                self.model, self.config, chunk
+            )
         t_start = time.time()
         try:
-            for it in range(self.start_iter, max_iters + 1):
-                _, batch = next(data)
-                self.key, step_key = jax.random.split(self.key)
-                self.state, metrics = self.train_step(
-                    self.state, batch, step_key
-                )
-                if it % self.log_freq == 0 or it == 1:
+            it = self.start_iter
+            while it <= max_iters:
+                k = min(chunk, max_iters - it + 1)
+                group = [next(data) for _ in range(k)]
+                if chunked_step is not None and k == chunk and len(
+                    {bucket for bucket, _ in group}
+                ) == 1:
+                    stacked = stack_batches([b for _, b in group])
+                    self.key, gkey = jax.random.split(self.key)
+                    self.state, metrics = chunked_step(
+                        self.state, stacked, gkey
+                    )
+                else:
+                    for _, batch in group:
+                        self.key, step_key = jax.random.split(self.key)
+                        self.state, metrics = self.train_step(
+                            self.state, batch, step_key
+                        )
+                prev, it = it, it + k - 1
+                if it // self.log_freq != (prev - 1) // self.log_freq \
+                        or prev == 1:
                     loss = float(metrics.loss)
                     self.logger.info(
                         "[Train] Iter %05d | Loss %.2f | Loss(Global) %.2f | "
@@ -197,7 +225,8 @@ class Trainer:
                     )
                 if (
                     self.val_loader is not None
-                    and (it % cfg.val_freq == 0 or it == max_iters)
+                    and (it // cfg.val_freq != (prev - 1) // cfg.val_freq
+                         or it == max_iters)
                 ):
                     avg_val_loss = self.validate(it)
                     best = avg_val_loss < self.best_val_loss
@@ -211,6 +240,7 @@ class Trainer:
                         self.plateau_global, self.plateau_local,
                         avg_val_loss, best=best,
                     )
+                it += 1
         except KeyboardInterrupt:
             self.logger.info("Terminating...")
         return self.state

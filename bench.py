@@ -45,6 +45,10 @@ def main():
                     choices=["generate", "train"],
                     help="generate: 5000-step sampling protocol (headline); "
                          "train: training-step throughput")
+    ap.add_argument("--step-chunk", type=int, default=1,
+                    help="train mode: optimizer steps per device dispatch "
+                         "(lax.scan over pre-stacked batches); amortizes "
+                         "program-launch latency")
     ap.add_argument("--engine", default="fast-xla",
                     choices=["fast-xla", "fast-pallas", "fast-mono",
                              "module"],
@@ -166,17 +170,37 @@ def _bench_train(args, dev, model_config):
         cfg, jax.random.PRNGKey(0), max_nodes=args.nodes,
         batch_size=args.batch,
     )
-    step = make_train_step(model, cfg, donate=False)
+    if args.step_chunk > 1:
+        from agdiff_tpu.train.train_step import (
+            make_chunked_train_step,
+            stack_batches,
+        )
+
+        inner = make_chunked_train_step(model, cfg, args.step_chunk,
+                                        donate=False)
+        stacked = stack_batches([batch] * args.step_chunk)
+        step = lambda st, b, k: inner(st, stacked, k)
+        steps_per_call = args.step_chunk
+    else:
+        step = make_train_step(model, cfg, donate=False)
+        steps_per_call = 1
     t0 = time.perf_counter()
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     _ = jax.device_get(metrics.loss)
     compile_s = time.perf_counter() - t0
+    # pipelined throughput: the trainer syncs metrics every log_freq=100
+    # steps, so calls are dispatched back-to-back; a per-call device_get
+    # would measure per-program dispatch latency instead of device time.
+    K = max(1, 50 // steps_per_call)
+    key = jax.random.PRNGKey(2)
     times = []
-    for k in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + k))
+        for _ in range(K):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, batch, k)
         _ = jax.device_get(metrics.loss)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / (K * steps_per_call))
     t_run = min(times)
     print(json.dumps({
         "metric": "train_steps_per_sec_per_chip",
@@ -186,6 +210,7 @@ def _bench_train(args, dev, model_config):
         "detail": {
             "device": str(dev), "batch": args.batch, "nodes": args.nodes,
             "dtype": args.dtype, "ms_per_step": round(t_run * 1000, 2),
+            "step_chunk": args.step_chunk,
             "mols_per_sec": round(args.batch / t_run, 1),
             "compile_plus_first_s": round(compile_s, 1),
             "baseline_est_steps_per_sec": 3.0,  # A100 PyTorch estimate:

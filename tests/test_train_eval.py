@@ -691,3 +691,60 @@ class TestRematParity:
                 continue
             assert np.abs(a - b).max() < 1e-5 + 1e-4 * scale, (
                 pa, np.abs(a - b).max(), scale)
+
+
+class TestChunkedTrainStep:
+    def test_chunked_equals_k_single_steps(self, smoke_config):
+        """make_chunked_train_step(K) with per-step keys == K sequential
+        single steps (bit-identical state update path)."""
+        import dataclasses
+
+        from agdiff_tpu.train import create_train_state, make_train_step
+        from agdiff_tpu.train.train_step import (
+            make_chunked_train_step,
+            stack_batches,
+        )
+
+        K = 3
+        cfg = smoke_config
+        mols = [synthetic_dataset(2, seed=s, min_heavy=3, max_heavy=4)
+                for s in range(K)]
+        batches = [pad_molecules(m, 16, edge_order=3, batch_size=2)
+                   for m in mols]
+        model, state0 = create_train_state(cfg, jax.random.PRNGKey(0), 16, 2)
+
+        key = jax.random.PRNGKey(7)
+        chunked = make_chunked_train_step(model, cfg, K, donate=False)
+        s_chunk, m_chunk = chunked(state0, stack_batches(batches), key)
+
+        step = make_train_step(model, cfg, donate=False)
+        s_ref = state0
+        for b, k in zip(batches, jax.random.split(key, K)):
+            s_ref, m_ref = step(s_ref, b, k)
+
+        np.testing.assert_allclose(float(m_chunk.loss), float(m_ref.loss),
+                                   rtol=1e-6)
+        for (pa, a), (pb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(s_chunk.params),
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-6, err_msg=str(pa))
+
+    def test_trainer_runs_with_step_chunk(self, smoke_config, tmp_path):
+        import dataclasses
+
+        from agdiff_tpu.data.dataset import ConformationDataset
+        from agdiff_tpu.train.trainer import Trainer
+
+        cfg = dataclasses.replace(
+            smoke_config,
+            train=dataclasses.replace(smoke_config.train, step_chunk=4,
+                                      max_iters=9, val_freq=100),
+        )
+        ds = ConformationDataset(
+            synthetic_dataset(12, seed=1, min_heavy=3, max_heavy=4))
+        tr = Trainer(cfg, ds, None, str(tmp_path / "logs"), log_freq=4)
+        state = tr.train()
+        assert int(state.step) == 9  # 4 + 4 + 1 (remainder singles)
