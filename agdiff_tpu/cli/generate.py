@@ -51,6 +51,9 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--no_resume", action="store_true")
+    ap.add_argument("--engine", default=None, choices=["xla", "mono"],
+                    help="fast-path engine (with --fast): xla = folded-BN "
+                         "XLA; mono = whole-forward Pallas kernel")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
     ap.add_argument("--packed", action="store_true",
@@ -131,6 +134,7 @@ def main(argv=None):
         buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
         mesh=mesh, logger=logger, use_fast=args.fast,
         model_config=config.model,
+        engine=(None if args.engine == "xla" else args.engine),
     )
     runner.run(
         dataset, out_dir, seed=args.seed, num_confs=args.num_confs,

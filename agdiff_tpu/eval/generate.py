@@ -44,6 +44,7 @@ class GenerationRunner:
         logger=None,
         use_fast: bool = False,
         model_config=None,
+        engine: str = None,
     ):
         self.model = model
         self.variables = variables
@@ -55,6 +56,7 @@ class GenerationRunner:
         self.logger = logger
         self.use_fast = use_fast
         self.model_config = model_config
+        self.engine = engine  # None/'xla' | 'mono' (monolithic kernel)
         self._samplers: Dict[tuple, object] = {}
         self.retry_config = sampler_config.with_clip_local(retry_clip_local)
 
@@ -67,7 +69,7 @@ class GenerationRunner:
 
                 fast = build_fast_sampler(
                     self.model_config, self.variables, self.diffusion, cfg,
-                    use_pallas=False,  # measured fastest (see bench.py)
+                    use_pallas=False, engine=self.engine,
                 )
                 self._samplers[key] = (
                     lambda v, b, p, k, _f=fast: _f(b, p, k)
