@@ -7,9 +7,9 @@ Prints ONE JSON line:
 
 Protocol measured: the reference generation workload (scripts/test.py) —
 5000 Langevin steps per conformer batch, QM9-size molecules (<= 32 atoms),
-full-size model (hidden 128, 6 SchNet + 4 GIN convs). We time a shorter scan
-(BENCH_STEPS) after compilation and extrapolate linearly to 5000 steps,
-which is conservative (longer scans amortize better).
+full-size model (hidden 128, 6 SchNet + 4 GIN convs). The timed scan IS the
+full 5000-step protocol (no extrapolation); pass --bench-steps to time a
+shorter scan and extrapolate (detail.measured_steps reports which).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The A100
 PyTorch estimate below comes from the reference's structure: a Python loop
@@ -33,8 +33,9 @@ def main():
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--ladder", default="suffix",
                     choices=["suffix", "strided"])
-    ap.add_argument("--bench-steps", type=int, default=250,
-                    help="timed scan length (extrapolated to 5000)")
+    ap.add_argument("--bench-steps", type=int, default=5000,
+                    help="timed scan length; < protocol-steps extrapolates "
+                         "linearly (default: measure the full protocol)")
     ap.add_argument("--protocol-steps", type=int, default=5000)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
@@ -147,6 +148,7 @@ def main():
             "steps_per_sec": round(steps_per_sec, 1),
             "ms_per_step": round(1000.0 / steps_per_sec, 3),
             "protocol_steps": args.protocol_steps,
+            "measured_steps": args.bench_steps,
             "compile_plus_first_s": round(compile_and_first, 1),
             "nan_frac": nan_frac,
             "baseline_est_conf_per_sec": BASELINE_CONF_PER_SEC,
