@@ -359,13 +359,18 @@ def _mono_kernel(dp_ref, em_ref, lm_ref, tp_ref, h0_ref, hl0_ref,
     out_g_ref[:] = pair_scores(hg, 0, em)
 
     # ---- GIN local branch ----
-    lmc = lm.reshape(rp, 1)
+    def mask_local(y):
+        # (rp, h) * per-pair mask — via a leading-dim split + expand_dims
+        # broadcast; a direct lm.reshape(rp, 1) is a lane-dim-changing
+        # reshape, which Mosaic rejects on this toolchain
+        return (y.reshape(bt, pp, h) * lm[:, :, None]).reshape(rp, h)
+
     e32 = e  # f32 (rp, h) — GIN messages add in f32
     hl = hl0_ref[:].reshape(r2, h).astype(f32)
     for li in range(num_local):
         xi, xj = expand(hl.astype(cd))
-        y1 = (jax.nn.relu(xj.astype(f32) + e32) * lmc).astype(cd)
-        y2 = (jax.nn.relu(xi.astype(f32) + e32) * lmc).astype(cd)
+        y1 = mask_local(jax.nn.relu(xj.astype(f32) + e32)).astype(cd)
+        y2 = mask_local(jax.nn.relu(xi.astype(f32) + e32)).astype(cd)
         o = hl + contract(y1, y2)
         o = jax.nn.relu(jnp.dot(o.astype(cd), W["gn_l0k"][li],
                                 preferred_element_type=f32)
@@ -381,7 +386,7 @@ def _mono_kernel(dp_ref, em_ref, lm_ref, tp_ref, h0_ref, hl0_ref,
 
 def build_monolithic_forward(
     config: ModelConfig, variables: Dict[str, Any],
-    compute_dtype=jnp.bfloat16, tile: int = 4, interpret=None,
+    compute_dtype=jnp.bfloat16, tile: int = 8, interpret=None,
 ):
     """Returns forward(batch, extend_order=..., extend_radius=...) ->
     ModelOutput, value-equivalent to models/fast_forward.py (itself
@@ -423,9 +428,14 @@ def build_monolithic_forward(
             edge_type = jnp.where(edge_mask, bond_adj, 0).astype(jnp.int32)
 
         b, n = batch.atom_type.shape
-        bt = tile
-        while b % bt:
+        # Mosaic requires the second-to-last block dim to be divisible by 8
+        # or equal to the full array dim: bt must divide B and be a multiple
+        # of 8 (or the whole batch).
+        bt = min(tile, b)
+        while bt > 1 and (b % bt or (bt % 8 and bt != b)):
             bt -= 1
+        if b % bt or (bt % 8 and bt != b):
+            bt = b  # whole-batch block is always a legal block shape
         p_real = n * (n - 1) // 2
         pp = -(-p_real // 128) * 128     # pad pairs to a lane multiple
         iu_np, ju_np, pair_id_np, ei_np, ej_np = _pair_maps(n, pp)
