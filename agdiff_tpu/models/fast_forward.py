@@ -63,48 +63,19 @@ def _ssp(x, beta):
     return jax.nn.softplus(beta * x) - LN2
 
 
-def build_fast_forward(
-    config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
-    compute_dtype=jnp.float32, pack_pairs: bool = True,
-) -> Callable[[GraphBatch], ModelOutput]:
-    """Returns forward(batch) -> ModelOutput, equivalent to
-    model.apply(variables, batch, train=False). All parameter folding happens
-    once here (outside jit), so the returned closure traces clean.
-    compute_dtype=bfloat16 runs the edge-feature matmuls in bf16 (f32
-    accumulation) — ~1e-2 relative error on scores, 2x MXU rate.
-
-    pack_pairs exploits the symmetry of every per-pair quantity (distances,
-    edge features, scores are all symmetric in (i, j)): the edge encoder and
-    the pair-score MLPs run over the N(N-1)/2 unordered pairs instead of all
-    N^2 ordered pairs (2.07x fewer rows), then results gather back to the
-    dense layout the aggregations consume. Values are identical."""
-    if config.edge_encoder != "mlp":
-        raise NotImplementedError(
-            "fast_forward supports the 'mlp' edge encoder (both reference "
-            "configs); use the flax module path for 'gaussian'."
-        )
-    if config.edge_attention_mode == "sigmoid":
-        raise NotImplementedError(
-            "fast_forward elides the reference's identity softmax edge "
-            "attention; the non-reference 'sigmoid' gate needs the module "
-            "path."
-        )
+def fold_eval_params(config: ModelConfig, variables: Dict[str, Any]):
+    """Fold eval-mode BatchNorm into the preceding Linears and flatten the
+    module tree into plain dicts of arrays. Shared by the fast engines
+    (this module and models/tight_forward.py)."""
     # params may be host numpy (e.g. a checkpoint restored without a target);
     # promote to jnp so embedding lookups accept traced indices
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     p = variables["params"]
     s = variables["batch_stats"]
     cfg = config
-    act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[cfg.mlp_act]
 
-    # ---- edge encoder params ----
-    ee = p["edge_encoder_global"]
-    ee_local = p.get("edge_encoder_local")  # present only if untied
-
-    # ---- SchNet folded params ----
-    sg = p["encoder_global"]
-    ss = s["encoder_global"]
     blocks = []
+    sg, ss = p["encoder_global"], s["encoder_global"]
     for i in range(cfg.num_convs):
         bp, bs = sg[f"interactions_{i}"], ss[f"interactions_{i}"]
         convs = []
@@ -132,11 +103,8 @@ def build_fast_forward(
             se0=sg[f"scaling_modules_{i}"]["fc_0"]["kernel"],
             se1=sg[f"scaling_modules_{i}"]["fc_1"]["kernel"],
         ))
-    schnet_emb = sg["embedding"]["embedding"]
 
-    # ---- GIN folded params ----
-    gl = p["encoder_local"]
-    gs = s["encoder_local"]
+    gl, gs = p["encoder_local"], s["encoder_local"]
     gin_layers = []
     for i in range(cfg.num_convs_local):
         mp = gl[f"convs_{i}"]["nn"]
@@ -145,51 +113,98 @@ def build_fast_forward(
         l1_k, l1_b = _fold_bn(*_linear(mp["layers_1"]),
                               gl[f"batch_norms_{i}"], gs[f"batch_norms_{i}"])
         gin_layers.append(dict(l0=(l0_k, l0_b), l1=(l1_k, l1_b)))
-    gin_emb = gl["node_emb"]["embedding"]
 
-    # ---- grad MLPs (flattened for the pair-score kernel) ----
     def mlp3(prefix):
         q = p[prefix]
         return (q["layers_0"]["kernel"], q["layers_0"]["bias"],
                 q["layers_1"]["kernel"], q["layers_1"]["bias"],
                 q["layers_2"]["kernel"], q["layers_2"]["bias"])
 
-    grad_global = mlp3("grad_global_dist_mlp")
-    grad_local = mlp3("grad_local_dist_mlp")
+    return dict(
+        ee=p["edge_encoder_global"],
+        ee_local=p.get("edge_encoder_local"),  # present only if untied
+        blocks=blocks,
+        schnet_emb=sg["embedding"]["embedding"],
+        gin_layers=gin_layers,
+        gin_emb=gl["node_emb"]["embedding"],
+        grad_global=mlp3("grad_global_dist_mlp"),
+        grad_local=mlp3("grad_local_dist_mlp"),
+    )
 
-    def edge_encode(enc_params, edge_length, edge_type):
-        """MLPEdgeEncoder, minus the identity softmax attention."""
-        k, b = _linear(enc_params["feature_expansion"])
-        expanded = jax.nn.gelu(edge_length * k[0] + b)
-        bond = enc_params["bond_emb"]["embedding"][edge_type]
-        x = jnp.concatenate([expanded, bond], axis=-1)
-        k, b = _linear(enc_params["edge_feature_mlp_0"])
-        x = jax.nn.gelu(x @ k + b)
-        k, b = _linear(enc_params["edge_feature_mlp_1"])
-        x = x @ k + b
-        y = jnp.concatenate([x, bond], axis=-1)
-        k, b = _linear(enc_params["combination_mlp_0"])
-        y = jax.nn.gelu(y @ k + b)
-        k, b = _linear(enc_params["combination_mlp_1"])
-        return y @ k + b
 
-    def distance_weight(conv, el):
-        k1, b1 = conv["dw1"]
-        k2, b2 = conv["dw2"]
-        x = jax.nn.relu(el * k1[0] + b1)
-        return jax.nn.sigmoid(x @ k2 + b2)[..., 0]
+def edge_encode(enc_params, edge_length, edge_type):
+    """MLPEdgeEncoder, minus the identity softmax attention."""
+    k, b = _linear(enc_params["feature_expansion"])
+    expanded = jax.nn.gelu(edge_length * k[0] + b)
+    bond = enc_params["bond_emb"]["embedding"][edge_type]
+    x = jnp.concatenate([expanded, bond], axis=-1)
+    k, b = _linear(enc_params["edge_feature_mlp_0"])
+    x = jax.nn.gelu(x @ k + b)
+    k, b = _linear(enc_params["edge_feature_mlp_1"])
+    x = x @ k + b
+    y = jnp.concatenate([x, bond], axis=-1)
+    k, b = _linear(enc_params["combination_mlp_0"])
+    y = jax.nn.gelu(y @ k + b)
+    k, b = _linear(enc_params["combination_mlp_1"])
+    return y @ k + b
 
-    def envelope(d):
-        if cfg.smooth_conv:
-            env = 0.5 * (jnp.cos(d * jnp.pi / cfg.cutoff) + 1.0)
-            env = env * (d <= cfg.cutoff)
-        else:
-            env = jnp.exp(-((d - cfg.cutoff) ** 2) / (2 * cfg.cutoff**2))
-        return env * (d <= cfg.cutoff) * (d >= 0.0)
 
-    def node_input(conv, h):
-        k, b = conv["lin1"]
-        return jax.nn.leaky_relu(h @ k + b, negative_slope=0.2)
+def distance_weight(conv, el):
+    k1, b1 = conv["dw1"]
+    k2, b2 = conv["dw2"]
+    x = jax.nn.relu(el * k1[0] + b1)
+    return jax.nn.sigmoid(x @ k2 + b2)[..., 0]
+
+
+def envelope(d, cfg: ModelConfig):
+    """CFConv cutoff envelope (schnet.py:140-149)."""
+    if cfg.smooth_conv:
+        env = 0.5 * (jnp.cos(d * jnp.pi / cfg.cutoff) + 1.0)
+        env = env * (d <= cfg.cutoff)
+    else:
+        env = jnp.exp(-((d - cfg.cutoff) ** 2) / (2 * cfg.cutoff**2))
+    return env * (d <= cfg.cutoff) * (d >= 0.0)
+
+
+def node_input(conv, h):
+    k, b = conv["lin1"]
+    return jax.nn.leaky_relu(h @ k + b, negative_slope=0.2)
+
+
+def build_fast_forward(
+    config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
+    compute_dtype=jnp.float32, pack_pairs: bool = True,
+) -> Callable[[GraphBatch], ModelOutput]:
+    """Returns forward(batch) -> ModelOutput, equivalent to
+    model.apply(variables, batch, train=False). All parameter folding happens
+    once here (outside jit), so the returned closure traces clean.
+    compute_dtype=bfloat16 runs the edge-feature matmuls in bf16 (f32
+    accumulation) — ~1e-2 relative error on scores, 2x MXU rate.
+
+    pack_pairs exploits the symmetry of every per-pair quantity (distances,
+    edge features, scores are all symmetric in (i, j)): the edge encoder and
+    the pair-score MLPs run over the N(N-1)/2 unordered pairs instead of all
+    N^2 ordered pairs (2.07x fewer rows), then results gather back to the
+    dense layout the aggregations consume. Values are identical."""
+    if config.edge_encoder != "mlp":
+        raise NotImplementedError(
+            "fast_forward supports the 'mlp' edge encoder (both reference "
+            "configs); use the flax module path for 'gaussian'."
+        )
+    if config.edge_attention_mode == "sigmoid":
+        raise NotImplementedError(
+            "fast_forward elides the reference's identity softmax edge "
+            "attention; the non-reference 'sigmoid' gate needs the module "
+            "path."
+        )
+    cfg = config
+    act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[cfg.mlp_act]
+
+    folded = fold_eval_params(config, variables)
+    ee, ee_local = folded["ee"], folded["ee_local"]
+    blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
+    gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
+    grad_global, grad_local = folded["grad_global"], folded["grad_local"]
 
     def cf_pathway_xla(conv, h, edge_attr, el, env_mask):
         lw = distance_weight(conv, el)
@@ -289,7 +304,7 @@ def build_fast_forward(
 
         # --- SchNet global branch ---
         h = _embed_lookup(schnet_emb, batch.atom_type, cfg.embedding_max_norm)
-        env_mask = envelope(dist) * edge_mask
+        env_mask = envelope(dist, cfg) * edge_mask
         for blk in blocks:
             c1, c2 = blk["convs"]
             if use_pallas:

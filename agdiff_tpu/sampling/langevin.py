@@ -86,6 +86,11 @@ def langevin_dynamics_sample(
 
     pos = pos_init * sigmas[-1] * node_mask3
 
+    # position-independent per-ladder data (e.g. the tight engine's packed
+    # pair lists) is built ONCE here, outside the step scan
+    prepare = getattr(forward_fn, "prepare", None)
+    fwd_kwargs = {} if prepare is None else {"pairs": prepare(batch)}
+
     def step(carry, i):
         pos, key, nan_flags = carry
         key, noise_key = jax.random.split(key)
@@ -95,6 +100,7 @@ def langevin_dynamics_sample(
                 batch.replace(pos=pos),
                 extend_order=cfg.extend_order,
                 extend_radius=cfg.extend_radius,
+                **fwd_kwargs,
             )
         else:
             out = model.apply(
@@ -194,12 +200,17 @@ def build_sampler(model, diffusion: Diffusion, config: SamplerConfig):
 
 def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        config: SamplerConfig, use_pallas=None,
-                       compute_dtype=None, engine: Optional[str] = None):
+                       compute_dtype=None, engine: Optional[str] = None,
+                       pair_capacity: Optional[int] = None,
+                       shared_pairs: bool = False):
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
+      * 'tight' — models/tight_forward.py (per-graph packed pairs sized by
+        `pair_capacity`, MXU one-hot aggregation — the fastest engine);
       * 'mono' — ops/pallas/monolithic.py, the whole per-step forward as ONE
-        Pallas kernel (edge tensors never leave VMEM).
+        Pallas kernel (edge tensors never leave VMEM; measured SLOWER than
+        XLA fusion at bf16 — kept as the kernel-design testbed).
     Parameters are baked into the closure (weights fold once on host)."""
     import jax.numpy as jnp
 
@@ -209,7 +220,14 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)
-    if engine == "mono":
+    if engine == "tight":
+        from agdiff_tpu.models.tight_forward import build_tight_forward
+
+        forward_fn = build_tight_forward(model_config, variables,
+                                         compute_dtype=compute_dtype,
+                                         capacity=pair_capacity,
+                                         shared=shared_pairs)
+    elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 
         forward_fn = build_monolithic_forward(model_config, variables,

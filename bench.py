@@ -51,13 +51,14 @@ def main():
                          "(lax.scan over pre-stacked batches); amortizes "
                          "program-launch latency")
     ap.add_argument("--engine", default="fast-xla",
-                    choices=["fast-xla", "fast-pallas", "fast-mono",
-                             "module"],
+                    choices=["fast-xla", "fast-tight", "fast-pallas",
+                             "fast-mono", "module"],
                     help="sampling engine: fast-xla (folded BN + symmetric "
-                         "pair packing), fast-pallas (per-consumer fused "
-                         "kernels), fast-mono (whole forward as ONE Pallas "
-                         "kernel, edge tensors VMEM-resident), or the plain "
-                         "flax module path")
+                         "pair packing), fast-tight (per-graph tight pair "
+                         "lists + MXU one-hot aggregation), fast-pallas "
+                         "(per-consumer fused kernels), fast-mono (whole "
+                         "forward as ONE Pallas kernel, edge tensors "
+                         "VMEM-resident), or the plain flax module path")
     ap.add_argument("--edge-attention", default="softmax_dim1",
                     choices=["softmax_dim1", "none", "sigmoid"],
                     help="'none' skips the reference's identity softmax "
@@ -101,12 +102,21 @@ def main():
         global_start_sigma=0.5, clip_local=20.0, unroll=args.unroll,
     )
     if args.engine.startswith("fast"):
+        from agdiff_tpu.models.tight_forward import pair_capacity_for
         from agdiff_tpu.sampling.langevin import build_fast_sampler
 
+        cap = None
+        if args.engine == "fast-tight":
+            # the bench batch is one molecule repeated (the reference
+            # generation pattern) -> the shared pair list applies
+            cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
         fast = build_fast_sampler(
             config, variables, diffusion, scfg,
             use_pallas=(args.engine == "fast-pallas"),
-            engine={"fast-mono": "mono"}.get(args.engine),
+            engine={"fast-mono": "mono", "fast-tight": "tight"}.get(
+                args.engine),
+            pair_capacity=cap,
+            shared_pairs=(args.engine == "fast-tight"),
         )
         sampler = lambda v, b, p, k: fast(b, p, k)
     else:

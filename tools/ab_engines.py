@@ -16,9 +16,11 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engines", default="fast-xla,fast-mono",
-                    help="comma list of: module, fast-xla, fast-pallas, "
-                         "fast-mono")
+    ap.add_argument("--engines", default="fast-xla,fast-tight",
+                    help="comma list of: module, fast-xla, fast-tight "
+                         "(shared pair list — repeated-molecule batches), "
+                         "fast-tight-pg (per-graph pair lists), "
+                         "fast-pallas, fast-mono")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=128)
@@ -61,11 +63,17 @@ def main():
             fn = build_sampler(model, diffusion, scfg)
             samplers[name] = lambda k, _f=fn: _f(variables, batch, pos_init, k)
         else:
+            from agdiff_tpu.models.tight_forward import pair_capacity_for
+
             engine = {"fast-xla": None, "fast-pallas": "pallas",
-                      "fast-mono": "mono"}[name]
+                      "fast-mono": "mono", "fast-tight": "tight",
+                      "fast-tight-pg": "tight"}[name]
+            cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
+                   if engine == "tight" else None)
             fn = build_fast_sampler(config, variables, diffusion, scfg,
                                     use_pallas=(engine == "pallas"),
-                                    engine=engine)
+                                    engine=engine, pair_capacity=cap,
+                                    shared_pairs=(name == "fast-tight"))
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
         out = samplers[name](jax.random.PRNGKey(2))
         _ = jax.device_get(out.pos)
