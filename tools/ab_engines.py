@@ -25,6 +25,9 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--nodes", type=int, default=32)
+    ap.add_argument("--heavy", type=int, default=9,
+                    help="heavy atoms of the repeated molecule (9 = QM9 max "
+                         "~28 atoms; 20 ~= Drugs-size, use --nodes 64)")
     ap.add_argument("--bench-steps", type=int, default=250)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--cpu", action="store_true",
@@ -47,7 +50,8 @@ def main():
     config = ModelConfig(dtype=args.dtype)
     model = get_model(config)
     diffusion = make_diffusion(config)
-    mols = synthetic_dataset(1, seed=0, min_heavy=9, max_heavy=9)
+    mols = synthetic_dataset(1, seed=0, min_heavy=args.heavy,
+                             max_heavy=args.heavy)
     batch = pad_molecules(mols * args.batch, max_nodes=args.nodes,
                           edge_order=3, batch_size=args.batch)
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
