@@ -51,9 +51,12 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--no_resume", action="store_true")
-    ap.add_argument("--engine", default=None, choices=["xla", "mono"],
+    ap.add_argument("--engine", default=None,
+                    choices=["xla", "tight", "mono"],
                     help="fast-path engine (with --fast): xla = folded-BN "
-                         "XLA; mono = whole-forward Pallas kernel")
+                         "XLA; tight = packed pair lists sized to the "
+                         "molecule (shared per chunk unless --packed); "
+                         "mono = whole-forward Pallas kernel")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
     ap.add_argument("--packed", action="store_true",

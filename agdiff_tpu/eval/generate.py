@@ -56,12 +56,18 @@ class GenerationRunner:
         self.logger = logger
         self.use_fast = use_fast
         self.model_config = model_config
-        self.engine = engine  # None/'xla' | 'mono' (monolithic kernel)
+        # None/'xla' | 'tight' (packed pair lists; this runner's chunks are
+        # one molecule repeated -> shared pair list) | 'mono' (Pallas kernel)
+        self.engine = engine
         self._samplers: Dict[tuple, object] = {}
         self.retry_config = sampler_config.with_clip_local(retry_clip_local)
 
-    def _sampler(self, bucket: int, retry: bool):
-        key = (bucket, retry)
+    # one repeated molecule per chunk in this runner -> shared pair lists;
+    # PackedGenerationRunner mixes molecules and overrides this
+    _tight_shared = True
+
+    def _sampler(self, bucket: int, retry: bool, capacity=None):
+        key = (bucket, retry, capacity)
         if key not in self._samplers:
             cfg = self.retry_config if retry else self.sampler_config
             if self.use_fast and self.mesh is None:
@@ -70,6 +76,9 @@ class GenerationRunner:
                 fast = build_fast_sampler(
                     self.model_config, self.variables, self.diffusion, cfg,
                     use_pallas=False, engine=self.engine,
+                    pair_capacity=capacity,
+                    shared_pairs=(self.engine == "tight"
+                                  and self._tight_shared),
                 )
                 self._samplers[key] = (
                     lambda v, b, p, k, _f=fast: _f(b, p, k)
@@ -133,7 +142,12 @@ class GenerationRunner:
 
                 batch = shard_graph_batch(batch, self.mesh)
             pos_init = jax.random.normal(init_key, batch.pos.shape)
-            result = self._sampler(bucket, retry=False)(
+            capacity = None
+            if self.engine == "tight":
+                from agdiff_tpu.models.tight_forward import pair_capacity_for
+
+                capacity = pair_capacity_for(mol.num_nodes)
+            result = self._sampler(bucket, retry=False, capacity=capacity)(
                 self.variables, batch, pos_init, run_key
             )
             pos = np.asarray(result.pos)
@@ -145,7 +159,7 @@ class GenerationRunner:
                         int(flags.sum()), len(flags),
                     )
                 key, retry_key = jax.random.split(key)
-                retry = self._sampler(bucket, retry=True)(
+                retry = self._sampler(bucket, retry=True, capacity=capacity)(
                     self.variables, batch, pos_init, retry_key
                 )
                 retry_pos = np.asarray(retry.pos)
@@ -237,6 +251,9 @@ def load_samples(path: str) -> List[Molecule]:
 
 
 class PackedGenerationRunner(GenerationRunner):
+    # packed chunks mix molecules -> per-graph pair lists (full capacity)
+    _tight_shared = False
+
     """Generation with cross-molecule batch packing.
 
     The base runner replicates ONE molecule per fixed-size chunk (the

@@ -202,7 +202,7 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        config: SamplerConfig, use_pallas=None,
                        compute_dtype=None, engine: Optional[str] = None,
                        pair_capacity: Optional[int] = None,
-                       shared_pairs: bool = False):
+                       shared_pairs: bool = False, tabulate: int = 0):
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
@@ -226,7 +226,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         forward_fn = build_tight_forward(model_config, variables,
                                          compute_dtype=compute_dtype,
                                          capacity=pair_capacity,
-                                         shared=shared_pairs)
+                                         shared=shared_pairs,
+                                         tabulate=tabulate)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 

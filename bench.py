@@ -51,8 +51,8 @@ def main():
                          "(lax.scan over pre-stacked batches); amortizes "
                          "program-launch latency")
     ap.add_argument("--engine", default="fast-xla",
-                    choices=["fast-xla", "fast-tight", "fast-pallas",
-                             "fast-mono", "module"],
+                    choices=["fast-xla", "fast-tight", "fast-tight-tab",
+                             "fast-pallas", "fast-mono", "module"],
                     help="sampling engine: fast-xla (folded BN + symmetric "
                          "pair packing), fast-tight (per-graph tight pair "
                          "lists + MXU one-hot aggregation), fast-pallas "
@@ -106,17 +106,19 @@ def main():
         from agdiff_tpu.sampling.langevin import build_fast_sampler
 
         cap = None
-        if args.engine == "fast-tight":
+        tight = args.engine in ("fast-tight", "fast-tight-tab")
+        if tight:
             # the bench batch is one molecule repeated (the reference
             # generation pattern) -> the shared pair list applies
             cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
         fast = build_fast_sampler(
             config, variables, diffusion, scfg,
             use_pallas=(args.engine == "fast-pallas"),
-            engine={"fast-mono": "mono", "fast-tight": "tight"}.get(
+            engine="tight" if tight else {"fast-mono": "mono"}.get(
                 args.engine),
             pair_capacity=cap,
-            shared_pairs=(args.engine == "fast-tight"),
+            shared_pairs=tight,
+            tabulate=2048 if args.engine == "fast-tight-tab" else 0,
         )
         sampler = lambda v, b, p, k: fast(b, p, k)
     else:

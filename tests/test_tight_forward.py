@@ -93,6 +93,25 @@ def test_tight_forward_bf16_close(setup):
     assert np.abs(g - rg).max() / denom < 0.05
 
 
+def test_tabulated_filters_match_module(setup):
+    """tabulate=K replaces the 12 filter MLPs + learnable softplus +
+    distance-weight sigmoids + envelope with one lerp'd table gather; at
+    K=2048 over [0, cutoff] the interpolation error is far below 1e-3."""
+    config, batch, variables, ref, mols = setup
+    cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
+    fwd = build_tight_forward(config, variables, capacity=cap, tabulate=2048)
+    out = jax.jit(lambda b: fwd(b))(batch)
+    em, lm = np.asarray(ref.edge_mask), np.asarray(ref.local_mask)
+    g = np.where(em, np.asarray(out.edge_inv_global), 0)
+    rg = np.where(em, np.asarray(ref.edge_inv_global), 0)
+    np.testing.assert_allclose(g, rg, rtol=2e-3, atol=2e-3)
+    li = np.where(lm, np.asarray(out.edge_inv_local), 0)
+    rl = np.where(lm, np.asarray(ref.edge_inv_local), 0)
+    # the local branch never consumes the tables (GIN uses raw edge
+    # features) — it must stay bit-comparable to the untabulated engine
+    np.testing.assert_allclose(li, rl, rtol=2e-4, atol=2e-4)
+
+
 def test_tight_shared_matches_module_on_repeated_molecule(setup):
     """shared=True uses graph 0's pair list for the whole batch — the
     reference generation pattern (one molecule repeated 2x num_refs)."""

@@ -438,6 +438,31 @@ class TestFastRunner:
         b = fast.generate_molecule(mols[0], 4, key)
         np.testing.assert_allclose(a, b, atol=5e-4)
 
+    def test_runner_tight_engine_on_cpu(self, smoke_config):
+        """engine='tight' (shared packed pair lists sized to the molecule)
+        matches the module-path runner."""
+        from agdiff_tpu.eval.generate import GenerationRunner
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig
+
+        mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        batch = pad_molecules(mols, 16, batch_size=1)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=6)
+        common = dict(buckets=(16,), chunk_size=4)
+        slow = GenerationRunner(model, variables, diffusion, scfg, **common)
+        tight = GenerationRunner(model, variables, diffusion, scfg,
+                                 use_fast=True, engine="tight",
+                                 model_config=smoke_config.model, **common)
+        key = jax.random.PRNGKey(3)
+        a = slow.generate_molecule(mols[0], 4, key)
+        b = tight.generate_molecule(mols[0], 4, key)
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
 
 class TestPackedGeneration:
     def test_packed_runner_fills_batches(self, smoke_config, tmp_path):

@@ -71,13 +71,16 @@ def main():
 
             engine = {"fast-xla": None, "fast-pallas": "pallas",
                       "fast-mono": "mono", "fast-tight": "tight",
-                      "fast-tight-pg": "tight"}[name]
+                      "fast-tight-pg": "tight",
+                      "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine == "tight" else None)
-            fn = build_fast_sampler(config, variables, diffusion, scfg,
-                                    use_pallas=(engine == "pallas"),
-                                    engine=engine, pair_capacity=cap,
-                                    shared_pairs=(name == "fast-tight"))
+            fn = build_fast_sampler(
+                config, variables, diffusion, scfg,
+                use_pallas=(engine == "pallas"),
+                engine=engine, pair_capacity=cap,
+                shared_pairs=name in ("fast-tight", "fast-tight-tab"),
+                tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
         out = samplers[name](jax.random.PRNGKey(2))
         _ = jax.device_get(out.pos)
