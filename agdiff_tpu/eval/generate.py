@@ -66,8 +66,20 @@ class GenerationRunner:
     # PackedGenerationRunner mixes molecules and overrides this
     _tight_shared = True
 
-    def _sampler(self, bucket: int, retry: bool, capacity=None):
-        key = (bucket, retry, capacity)
+    def _engine_for(self, bucket: int) -> Optional[str]:
+        """Effective fast-path engine. With no explicit choice, large
+        buckets auto-select 'tight': pair density drops with bucket size
+        and the tight engine measures 3.18x fast-xla at N=64 (Drugs size);
+        at N=32 the two are within noise, keep fast-xla."""
+        if self.engine is not None:
+            return self.engine
+        if self.use_fast and self._tight_shared and bucket >= 48:
+            return "tight"
+        return None
+
+    def _sampler(self, bucket: int, retry: bool, capacity=None,
+                 engine=None):
+        key = (bucket, retry, capacity, engine)
         if key not in self._samplers:
             cfg = self.retry_config if retry else self.sampler_config
             if self.use_fast and self.mesh is None:
@@ -75,10 +87,9 @@ class GenerationRunner:
 
                 fast = build_fast_sampler(
                     self.model_config, self.variables, self.diffusion, cfg,
-                    use_pallas=False, engine=self.engine,
+                    use_pallas=False, engine=engine,
                     pair_capacity=capacity,
-                    shared_pairs=(self.engine == "tight"
-                                  and self._tight_shared),
+                    shared_pairs=(engine == "tight" and self._tight_shared),
                 )
                 self._samplers[key] = (
                     lambda v, b, p, k, _f=fast: _f(b, p, k)
@@ -142,12 +153,14 @@ class GenerationRunner:
 
                 batch = shard_graph_batch(batch, self.mesh)
             pos_init = jax.random.normal(init_key, batch.pos.shape)
+            engine = self._engine_for(bucket)
             capacity = None
-            if self.engine == "tight":
+            if engine == "tight":
                 from agdiff_tpu.models.tight_forward import pair_capacity_for
 
                 capacity = pair_capacity_for(mol.num_nodes)
-            result = self._sampler(bucket, retry=False, capacity=capacity)(
+            result = self._sampler(bucket, retry=False, capacity=capacity,
+                                   engine=engine)(
                 self.variables, batch, pos_init, run_key
             )
             pos = np.asarray(result.pos)
@@ -159,7 +172,8 @@ class GenerationRunner:
                         int(flags.sum()), len(flags),
                     )
                 key, retry_key = jax.random.split(key)
-                retry = self._sampler(bucket, retry=True, capacity=capacity)(
+                retry = self._sampler(bucket, retry=True, capacity=capacity,
+                                      engine=engine)(
                     self.variables, batch, pos_init, retry_key
                 )
                 retry_pos = np.asarray(retry.pos)
@@ -319,13 +333,18 @@ class PackedGenerationRunner(GenerationRunner):
                 )(keys)
                 run_key = jax.random.fold_in(
                     jax.random.PRNGKey(seed ^ 0x5EED), start)
-                result = self._sampler(bucket, retry=False)(
+                # mixed-molecule chunks: an explicit engine='tight' uses
+                # per-graph pair lists (full bucket capacity); no
+                # auto-selection here (_tight_shared is False)
+                result = self._sampler(bucket, retry=False,
+                                       engine=self.engine)(
                     self.variables, batch, pos_init, run_key
                 )
                 pos = np.asarray(result.pos)
                 flags = np.asarray(result.nan_flags)
                 if flags.any():
-                    retry = self._sampler(bucket, retry=True)(
+                    retry = self._sampler(bucket, retry=True,
+                                          engine=self.engine)(
                         self.variables, batch, pos_init,
                         jax.random.fold_in(run_key, 1),
                     )
