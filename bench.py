@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128,
                     help="conformers generated simultaneously per chip")
     ap.add_argument("--nodes", type=int, default=32, help="bucket size")
+    ap.add_argument("--heavy", type=int, default=9,
+                    help="heavy atoms of the benchmarked molecule (9 = QM9 "
+                         "max, ~28 atoms; 20 ~= Drugs-size, pair with "
+                         "--nodes 64 --batch 48 --engine fast-tight)")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--ladder", default="suffix",
                     choices=["suffix", "strided"])
@@ -87,7 +91,8 @@ def main():
 
     # one QM9-size molecule replicated across the batch (the reference's
     # generation pattern: repeat_data x 2*num_refs, test.py:135-141)
-    mols = synthetic_dataset(1, seed=0, min_heavy=9, max_heavy=9)
+    mols = synthetic_dataset(1, seed=0, min_heavy=args.heavy,
+                             max_heavy=args.heavy)
     batch = pad_molecules(
         mols * args.batch, max_nodes=args.nodes, edge_order=3,
         batch_size=args.batch,
