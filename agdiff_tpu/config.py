@@ -54,9 +54,15 @@ class ModelConfig:
     # --- Numerics ---
     dtype: str = "float32"        # compute dtype: 'float32' | 'bfloat16'
     # Rematerialize the encoders in backward (training): trades cheap FLOPs
-    # for not storing the (B, N, N, C) edge activations — the training step
-    # is HBM-bound, so this is usually a win. Values are identical.
+    # for not storing the (B, N, N, C) edge activations. Measured on v5e:
+    # remat LOSES (~21 vs ~16 ms/step at B=64) — prefer packed_pairs below.
     remat: bool = False
+    # Compute per-edge tensors on the N(N-1)/2 unordered pairs instead of
+    # the N^2 dense block (every per-edge quantity is symmetric; BatchNorm
+    # is node-space, so values match the dense path — tests/
+    # test_packed_train.py). Halves forward per-edge volume AND the
+    # residuals the backward saves.
+    packed_pairs: bool = False
 
     @property
     def num_timesteps(self) -> int:

@@ -101,12 +101,28 @@ class DualEncoderEpsNetwork(nn.Module):
             edge_mask = local_mask
             edge_type = jnp.where(edge_mask, bond_adj, 0).astype(jnp.int32)
 
-        edge_length = dist[..., None]  # (B, N, N, 1)
+        # packed-pair mode (cfg.packed_pairs): every per-edge tensor lives on
+        # the N(N-1)/2 unordered pairs instead of the N^2 dense block —
+        # halves forward volume AND the residuals the backward saves. All
+        # per-edge quantities are symmetric; BatchNorm is node-space, so the
+        # semantics are identical (tests/test_packed_train.py).
+        pairs = None
+        if cfg.packed_pairs:
+            from agdiff_tpu.ops.pairs import pack_plane, triu_pairs
+
+            pairs = triu_pairs(dist.shape[-1], dtype)
+            edge_length = pack_plane(dist, pairs)[..., None]  # (B, P, 1)
+            em_in = pack_plane(edge_mask, pairs)
+            lm_in = pack_plane(local_mask, pairs)
+            et_in = pack_plane(edge_type, pairs)
+        else:
+            edge_length = dist[..., None]  # (B, N, N, 1)
+            em_in, lm_in, et_in = edge_mask, local_mask, edge_type
 
         # --- edge encoders ---
         edge_attr_global = get_edge_encoder(
             cfg, dtype, name="edge_encoder_global"
-        )(edge_length, edge_type)
+        )(edge_length, et_in)
         if cfg.tie_edge_encoders:
             # reference re-invokes the *global* encoder for the local branch
             # (dualenc.py:214-216) — identical inputs, identical output.
@@ -114,7 +130,7 @@ class DualEncoderEpsNetwork(nn.Module):
         else:
             edge_attr_local = get_edge_encoder(
                 cfg, dtype, name="edge_encoder_local"
-            )(edge_length, edge_type)
+            )(edge_length, et_in)
 
         # --- global branch: SchNet on the full working graph ---
         # remat: recompute encoder activations in backward instead of saving
@@ -134,10 +150,11 @@ class DualEncoderEpsNetwork(nn.Module):
             embedding_max_norm=cfg.embedding_max_norm,
             dtype=dtype,
             name="encoder_global",
-        )(batch.atom_type, node_mask, edge_mask, edge_length, edge_attr_global,
-          train)
+        )(batch.atom_type, node_mask, em_in, edge_length, edge_attr_global,
+          train, pairs)
 
-        h_pair_global = _assemble_pair_feature(node_attr_global, edge_attr_global)
+        h_pair_global = _assemble_pair_feature(node_attr_global,
+                                               edge_attr_global, pairs)
         edge_inv_global = MultiLayerPerceptron(
             (cfg.hidden_dim, cfg.hidden_dim // 2, 1), activation=cfg.mlp_act,
             dtype=dtype, name="grad_global_dist_mlp",
@@ -149,13 +166,23 @@ class DualEncoderEpsNetwork(nn.Module):
             num_convs=cfg.num_convs_local,
             dtype=dtype,
             name="encoder_local",
-        )(batch.atom_type, node_mask, local_mask, edge_attr_local, train)
+        )(batch.atom_type, node_mask, lm_in, edge_attr_local, train, pairs)
 
-        h_pair_local = _assemble_pair_feature(node_attr_local, edge_attr_local)
+        h_pair_local = _assemble_pair_feature(node_attr_local,
+                                              edge_attr_local, pairs)
         edge_inv_local = MultiLayerPerceptron(
             (cfg.hidden_dim, cfg.hidden_dim // 2, 1), activation=cfg.mlp_act,
             dtype=dtype, name="grad_local_dist_mlp",
         )(h_pair_local, train)[..., 0]
+
+        if pairs is not None:
+            # mirror packed symmetric scores to the dense (B, N, N) layout
+            # (diagonal gets pair 0's value — junk, like the dense path's
+            # h_i*h_i diagonal; every consumer masks)
+            from agdiff_tpu.ops.pairs import mirror_plane
+
+            edge_inv_global = mirror_plane(edge_inv_global, pairs)
+            edge_inv_local = mirror_plane(edge_inv_local, pairs)
 
         return ModelOutput(
             edge_inv_global=edge_inv_global.astype(jnp.float32),
@@ -167,9 +194,14 @@ class DualEncoderEpsNetwork(nn.Module):
         )
 
 
-def _assemble_pair_feature(node_attr, edge_attr):
-    """h_pair_ij = concat(h_i * h_j, e_ij) (reference: common.py:106-109)."""
-    prod = node_attr[:, :, None, :] * node_attr[:, None, :, :]
+def _assemble_pair_feature(node_attr, edge_attr, pairs=None):
+    """h_pair_ij = concat(h_i * h_j, e_ij) (reference: common.py:106-109).
+    With `pairs` (packed mode) edge_attr is (B, P, C) and the product runs
+    over endpoint rows instead of the dense outer block."""
+    if pairs is not None:
+        prod = node_attr[:, pairs.iu, :] * node_attr[:, pairs.ju, :]
+    else:
+        prod = node_attr[:, :, None, :] * node_attr[:, None, :, :]
     return jnp.concatenate([prod, edge_attr], axis=-1)
 
 

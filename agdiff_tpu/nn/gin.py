@@ -31,17 +31,33 @@ class GINEConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, local_mask, edge_attr, train: bool):
+    def __call__(self, x, local_mask, edge_attr, train: bool, pairs=None):
         act = activation_by_name(self.activation)
         if self.train_eps:
             eps = self.param("eps", lambda k: jnp.array(self.eps, jnp.float32))
         else:
             eps = self.eps
-        # messages over all pairs, masked on aggregation
-        msg = x[:, None, :, :] + edge_attr  # (B, N_i, N_j, H): x_j + e_ij
-        if act is not None:
-            msg = act(msg)
-        agg = jnp.einsum("bij,bijh->bih", local_mask.astype(msg.dtype), msg)
+        if pairs is not None:
+            # packed layout: edge_attr (B, P, H), local_mask (B, P); the
+            # message into i is act(x_j + e_p) and vice versa
+            from agdiff_tpu.ops.pairs import (
+                gather_endpoints,
+                scatter_add_endpoints,
+            )
+
+            xi, xj = gather_endpoints(x, pairs)
+            m_i = xj + edge_attr
+            m_j = xi + edge_attr
+            if act is not None:
+                m_i, m_j = act(m_i), act(m_j)
+            lm = local_mask[..., None].astype(m_i.dtype)
+            agg = scatter_add_endpoints(m_i * lm, m_j * lm, pairs)
+        else:
+            # messages over all pairs, masked on aggregation
+            msg = x[:, None, :, :] + edge_attr  # (B, N_i, N_j, H): x_j + e_ij
+            if act is not None:
+                msg = act(msg)
+            agg = jnp.einsum("bij,bijh->bih", local_mask.astype(msg.dtype), msg)
         out = (1.0 + eps) * x + agg
         return MultiLayerPerceptron(
             (self.hidden_dim, self.hidden_dim), activation=self.activation,
@@ -62,7 +78,8 @@ class GINEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, node_mask, local_mask, edge_attr, train: bool):
+    def __call__(self, z, node_mask, local_mask, edge_attr, train: bool,
+                 pairs=None):
         act = activation_by_name(self.activation)
         h = nn.Embed(
             100, self.hidden_dim, embedding_init=nn.initializers.normal(1.0),
@@ -75,7 +92,7 @@ class GINEncoder(nn.Module):
             hidden = GINEConv(
                 self.hidden_dim, activation=self.activation, dtype=self.dtype,
                 name=f"convs_{i}",
-            )(conv_input, local_mask, edge_attr, train)
+            )(conv_input, local_mask, edge_attr, train, pairs)
             hidden = MaskedBatchNorm(
                 self.hidden_dim, dtype=self.dtype, name=f"batch_norms_{i}"
             )(hidden, node_mask, train)

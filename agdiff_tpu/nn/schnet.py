@@ -56,7 +56,11 @@ class CFConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, node_mask, edge_mask, edge_length, edge_attr,
-                 train: bool):
+                 train: bool, pairs=None):
+        """With pairs=None, per-edge tensors are dense (B, N, N[, C]); with
+        an ops.pairs.TriuPairs, they are packed (B, P[, C]) on the unordered
+        pair set and aggregation runs over endpoint selectors (training-time
+        pair packing — every per-edge tensor and saved residual halves)."""
         # --- per-edge scalar weights ---
         learnable_w = DistanceWeightingNetwork(
             dtype=self.dtype, name="distance_weighting"
@@ -68,7 +72,7 @@ class CFConv(nn.Module):
         else:
             env = jnp.exp(-((d - self.cutoff) ** 2) / (2 * self.cutoff**2))
         env = env * (d <= self.cutoff) * (d >= 0.0)
-        combined = learnable_w * env  # (B, N, N, 1)
+        combined = learnable_w * env  # (B, N, N, 1) or (B, P, 1)
 
         # --- edge filter ---
         w = Linear(
@@ -80,7 +84,7 @@ class CFConv(nn.Module):
             self.num_filters, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="filter_1",
         )(w)
-        w = w * combined  # (B, N, N, F)
+        w = w * combined  # (B, N, N, F) or (B, P, F)
 
         # --- node path ---
         h = Linear(
@@ -94,7 +98,16 @@ class CFConv(nn.Module):
 
         # --- aggregate: out_i = sum_j mask_ij * h_j * W_ij ---
         w = jnp.where(edge_mask[..., None], w, 0.0)
-        out = jnp.einsum("bijf,bjf->bif", w, h)
+        if pairs is not None:
+            from agdiff_tpu.ops.pairs import (
+                gather_endpoints,
+                scatter_add_endpoints,
+            )
+
+            hi, hj = gather_endpoints(h, pairs)
+            out = scatter_add_endpoints(w * hj, w * hi, pairs)
+        else:
+            out = jnp.einsum("bijf,bjf->bif", w, h)
 
         out = Linear(
             self.out_channels, kernel_init=nn.initializers.xavier_uniform(),
@@ -123,15 +136,15 @@ class InteractionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, node_mask, edge_mask, edge_length, edge_attr,
-                 train: bool):
+                 train: bool, pairs=None):
         p1 = CFConv(
             self.hidden_channels, self.num_filters, self.cutoff, self.smooth,
             dtype=self.dtype, name="conv1",
-        )(x, node_mask, edge_mask, edge_length, edge_attr, train)
+        )(x, node_mask, edge_mask, edge_length, edge_attr, train, pairs)
         p2 = CFConv(
             self.hidden_channels, self.num_filters // 2, self.cutoff, self.smooth,
             dtype=self.dtype, name="conv2",
-        )(x, node_mask, edge_mask, edge_length, edge_attr, train)
+        )(x, node_mask, edge_mask, edge_length, edge_attr, train, pairs)
 
         combined = jnp.concatenate([p1, p2], axis=-1)
         combined = ShiftedSoftplus(name="act")(combined)
@@ -184,7 +197,7 @@ class SchNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, node_mask, edge_mask, edge_length, edge_attr,
-                 train: bool, node_embed=None):
+                 train: bool, pairs=None, node_embed=None):
         if node_embed is not None:
             h = node_embed
         else:
@@ -205,7 +218,7 @@ class SchNetEncoder(nn.Module):
             out = InteractionBlock(
                 self.hidden_channels, self.num_filters, self.cutoff, self.smooth,
                 dtype=self.dtype, name=f"interactions_{i}",
-            )(h, node_mask, edge_mask, edge_length, edge_attr, train)
+            )(h, node_mask, edge_mask, edge_length, edge_attr, train, pairs)
             out = AdaptiveScalingModule(
                 self.hidden_channels, dtype=self.dtype, name=f"scaling_modules_{i}"
             )(out)

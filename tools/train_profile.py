@@ -28,21 +28,37 @@ batch = pad_molecules(mols, N, batch_size=B)
 
 
 def timeit(fn, *args):
+    """Pipelined timing: dispatch K calls back-to-back, sync once — the
+    per-call device_get would measure the ~25 ms host dispatch round-trip
+    through the remote-chip tunnel instead of device time."""
     out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
+    K = 10
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(K):
+            out = fn(*args)
         jax.device_get(jax.tree_util.tree_leaves(out)[0])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / K)
     return min(times)
 
 
-for remat in (False, True):
-    for dtype in ("float32", "bfloat16"):
-        cfg = Config(model=ModelConfig(remat=remat, dtype=dtype),
+VARIANTS = [
+    dict(remat=False, dtype="float32", packed_pairs=False),
+    dict(remat=False, dtype="bfloat16", packed_pairs=False),
+    dict(remat=False, dtype="float32", packed_pairs=True),
+    dict(remat=False, dtype="bfloat16", packed_pairs=True),
+    dict(remat=True, dtype="float32", packed_pairs=False),
+]
+import os
+if os.environ.get("PROFILE_PACKED_ONLY"):
+    VARIANTS = [v for v in VARIANTS if v["packed_pairs"]]
+
+for variant in VARIANTS:
+    if True:
+        remat, dtype = variant["remat"], variant["dtype"]
+        cfg = Config(model=ModelConfig(**variant),
                      train=TrainConfig(batch_size=B))
         model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                           max_nodes=N, batch_size=B)
@@ -69,6 +85,7 @@ for remat in (False, True):
         t_s = timeit(step, state, batch, key)
         print(json.dumps({
             "remat": remat, "dtype": dtype,
+            "packed_pairs": variant["packed_pairs"],
             "fwd_ms": round(t_f * 1e3, 2),
             "grad_ms": round(t_g * 1e3, 2),
             "step_ms": round(t_s * 1e3, 2),
