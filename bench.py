@@ -54,6 +54,10 @@ def main():
                     help="train mode: optimizer steps per device dispatch "
                          "(lax.scan over pre-stacked batches); amortizes "
                          "program-launch latency")
+    ap.add_argument("--packed-pairs", action="store_true",
+                    help="train mode: per-edge tensors on the N(N-1)/2 "
+                         "unordered pairs (config.packed_pairs; value/"
+                         "gradient-identical, fastest at bf16)")
     ap.add_argument("--engine", default="fast-xla",
                     choices=["fast-xla", "fast-tight", "fast-tight-tab",
                              "fast-pallas", "fast-mono", "module"],
@@ -81,7 +85,8 @@ def main():
 
     dev = jax.devices()[0]
     config = ModelConfig(dtype=args.dtype,
-                         edge_attention_mode=args.edge_attention)
+                         edge_attention_mode=args.edge_attention,
+                         packed_pairs=args.packed_pairs)
     model = get_model(config)
     diffusion = make_diffusion(config)
 
@@ -183,7 +188,9 @@ def _bench_train(args, dev, model_config):
     from agdiff_tpu.train.train_step import create_train_state, make_train_step
 
     cfg = Config(model=model_config, train=TrainConfig(batch_size=args.batch))
-    mols = synthetic_dataset(args.batch, seed=0, min_heavy=7, max_heavy=9)
+    mols = synthetic_dataset(args.batch, seed=0,
+                             min_heavy=max(4, args.heavy - 2),
+                             max_heavy=args.heavy)
     batch = pad_molecules(mols, args.nodes, batch_size=args.batch)
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(0), max_nodes=args.nodes,
