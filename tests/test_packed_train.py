@@ -102,6 +102,22 @@ def test_packed_gradients_match_dense(setup):
             rtol=5e-4, atol=5e-5, err_msg=str(path))
 
 
+def test_packed_with_remat_matches_dense(setup):
+    """packed_pairs composes with remat (the pairs tuple rides through
+    nn.remat as a regular pytree argument)."""
+    import dataclasses
+
+    batch, dense_cfg, _, dense, _, variables = setup
+    cfg_pr = dataclasses.replace(dense_cfg, packed_pairs=True, remat=True)
+    both = get_model(cfg_pr)
+    a = dense.apply(variables, batch, train=False)
+    b = both.apply(variables, batch, train=False)
+    ga, la = _masked(a)
+    gb, lb = _masked(b)
+    np.testing.assert_allclose(gb, ga, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(lb, la, rtol=2e-5, atol=2e-5)
+
+
 def test_packed_train_step_runs(setup):
     """End-to-end: a train step with packed_pairs updates parameters and the
     loss is finite and equal to the dense step's loss."""
