@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--clip_local", type=float, default=None)
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--chunk_size", type=int, default=64)
+    ap.add_argument("--fast", action="store_true",
+                    help="optimized inference path (folded BatchNorm; large "
+                         "buckets auto-select the tight engine)")
+    ap.add_argument("--engine", default=None,
+                    choices=["xla", "tight", "mono"])
     args = ap.parse_args(argv)
 
     import jax
@@ -70,7 +75,8 @@ def main(argv=None):
     runner = GenerationRunner(
         model, variables, make_diffusion(config.model), scfg,
         buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
-        logger=logger,
+        logger=logger, use_fast=args.fast, engine=args.engine,
+        model_config=config.model,
     )
     pos_gen = runner.generate_molecule(
         mol, num_samples, jax.random.PRNGKey(args.seed)
