@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--test_set", default=None)
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--synthetic_heavy", type=int, default=None,
+                    help="max heavy atoms of the synthetic molecules "
+                         "(default QM9-like 4-9; 20 ~= Drugs-size)")
     ap.add_argument("--start_idx", type=int, default=0)
     ap.add_argument("--end_idx", type=int, default=200)
     ap.add_argument("--num_confs", default="2x")
@@ -114,8 +117,12 @@ def main(argv=None):
     if args.synthetic:
         from agdiff_tpu.data.synthetic import synthetic_dataset
 
+        kw = {}
+        if args.synthetic_heavy:
+            kw = dict(min_heavy=max(4, args.synthetic_heavy - 4),
+                      max_heavy=args.synthetic_heavy)
         dataset = synthetic_dataset(
-            args.synthetic, seed=7, num_conformers=3
+            args.synthetic, seed=7, num_conformers=3, **kw
         )
     else:
         dataset = PackedConformationDataset(args.test_set).molecules
