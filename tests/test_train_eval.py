@@ -223,6 +223,39 @@ class TestParallel:
             float(m1.grad_norm), float(mp_.grad_norm), rtol=1e-4
         )
 
+    def test_dp_matches_single_device_packed_pairs(self, smoke_config):
+        """8-way DP with config.packed_pairs: sharded loss/grad-norm must
+        match the single-device dense AND packed steps."""
+        import dataclasses
+
+        from agdiff_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_graph_batch,
+        )
+        from agdiff_tpu.train.train_step import create_train_state, make_train_step
+
+        cfg = dataclasses.replace(
+            smoke_config,
+            model=dataclasses.replace(smoke_config.model, packed_pairs=True),
+        )
+        mols = synthetic_dataset(8, seed=0, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=8)
+        model, state = create_train_state(
+            cfg, jax.random.PRNGKey(0), max_nodes=16, batch_size=8
+        )
+        single = make_train_step(model, cfg, donate=False)
+        _, m1 = single(state, batch, jax.random.PRNGKey(5))
+
+        mesh = make_mesh(8)
+        par = make_parallel_train_step(model, cfg, mesh, donate=False)
+        sharded = shard_graph_batch(batch, mesh)
+        _, mp_ = par(state, sharded, jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m1.loss), float(mp_.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m1.grad_norm), float(mp_.grad_norm),
+                                   rtol=1e-4)
+
     def test_dryrun_multichip(self):
         import importlib.util
         import os
