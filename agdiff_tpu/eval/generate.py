@@ -69,11 +69,12 @@ class GenerationRunner:
     def _engine_for(self, bucket: int) -> Optional[str]:
         """Effective fast-path engine. With no explicit choice, large
         buckets auto-select 'tight': pair density drops with bucket size
-        and the tight engine measures 3.18x fast-xla at N=64 (Drugs size);
-        at N=32 the two are within noise, keep fast-xla."""
+        and the tight engine measures 1.53x fast-xla at N=40, 2.60x at
+        N=48, 3.18x at N=64 (Drugs size); at N=32 the two are within
+        noise, keep fast-xla."""
         if self.engine is not None:
             return self.engine
-        if self.use_fast and self._tight_shared and bucket >= 48:
+        if self.use_fast and self._tight_shared and bucket >= 40:
             return "tight"
         return None
 

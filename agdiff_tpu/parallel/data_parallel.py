@@ -54,6 +54,39 @@ def make_parallel_train_step(model, config, mesh: Mesh, donate: bool = True):
     )
 
 
+def make_parallel_chunked_train_step(model, config, chunk: int, mesh: Mesh,
+                                     donate: bool = True):
+    """DP version of train.train_step.make_chunked_train_step: K optimizer
+    steps per dispatch over a (K, B, ...) stacked batch whose GRAPH axis is
+    sharded over the mesh (the K axis is the scan axis, replicated in
+    layout). Multi-chip training pays the same per-program dispatch latency
+    as single-chip — chunking amortizes it identically."""
+    from agdiff_tpu.train.train_step import make_chunked_train_step
+
+    inner = make_chunked_train_step(model, config, chunk, jit=False)
+
+    batch_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, P(None, *tuple(spec))),
+        _batch_spec(mesh),
+    )
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        inner,
+        in_shardings=(repl, batch_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def shard_stacked_batches(stacked: GraphBatch, mesh: Mesh) -> GraphBatch:
+    """Place a host (K, B, ...) stacked GraphBatch with the graph axis
+    sharded (K replicated as the scan axis)."""
+    def _put(x, spec):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(None, *tuple(spec))))
+
+    return jax.tree_util.tree_map(_put, stacked, _batch_spec(mesh))
+
+
 def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh):
     """DP version of sampling.langevin.build_sampler: each chip runs the
     Langevin ladder on its shard of the molecule batch (generation is

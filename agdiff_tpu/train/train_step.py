@@ -108,7 +108,7 @@ def make_train_step(model, config: Config, donate: bool = True,
 
 
 def make_chunked_train_step(model, config: Config, chunk: int,
-                            donate: bool = True):
+                            donate: bool = True, jit: bool = True):
     """K = chunk optimizer steps per device dispatch, as one lax.scan over a
     leading-stacked batch pytree (each leaf (K, ...)). One program launch
     per K steps — the per-dispatch latency (large through a remote tunnel,
@@ -116,6 +116,8 @@ def make_chunked_train_step(model, config: Config, chunk: int,
     the single step K times with the same per-step keys.
 
     Returns (state, stacked_batches, key) -> (state, metrics-of-last-step).
+    jit=False returns the raw function (the DP wrapper re-jits with
+    shardings, parallel/data_parallel.make_parallel_chunked_train_step).
     """
     inner = make_train_step(model, config, jit=False)
 
@@ -130,6 +132,8 @@ def make_chunked_train_step(model, config: Config, chunk: int,
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return state, last
 
+    if not jit:
+        return chunked
     return jax.jit(chunked, donate_argnums=(0,) if donate else ())
 
 

@@ -159,17 +159,18 @@ class Trainer:
     def train(self, max_iters: Optional[int] = None) -> TrainState:
         cfg = self.config.train
         max_iters = max_iters or cfg.max_iters
-        data = prefetch(iter(self.train_loader), size=2)
+        # step_chunk > 1: run K optimizer steps per device dispatch
+        # (lax.scan), amortizing per-program launch latency — single-device
+        # AND data-parallel (the sharded chunk scans over the K axis with
+        # the graph axis sharded). Only groups of same-bucket batches chunk;
+        # mixed groups fall back to single steps.
+        chunk = max(1, int(cfg.step_chunk))
+        data = prefetch(iter(self.train_loader), size=max(2, 2 * chunk))
+        shard_one = None
         if self.mesh is not None:
             from agdiff_tpu.parallel.data_parallel import shard_graph_batch
 
-            data = (
-                (b, shard_graph_batch(batch, self.mesh)) for b, batch in data
-            )
-        # step_chunk > 1: run K optimizer steps per device dispatch
-        # (lax.scan), amortizing per-program launch latency. Only groups of
-        # same-bucket batches chunk; mixed groups fall back to single steps.
-        chunk = max(1, int(cfg.step_chunk)) if self.mesh is None else 1
+            shard_one = lambda b: shard_graph_batch(b, self.mesh)
         chunked_step = None
         if chunk > 1:
             from agdiff_tpu.train.train_step import (
@@ -177,9 +178,22 @@ class Trainer:
                 stack_batches,
             )
 
-            chunked_step = make_chunked_train_step(
-                self.model, self.config, chunk
-            )
+            if self.mesh is not None:
+                from agdiff_tpu.parallel.data_parallel import (
+                    make_parallel_chunked_train_step,
+                    shard_stacked_batches,
+                )
+
+                par_chunked = make_parallel_chunked_train_step(
+                    self.model, self.config, chunk, self.mesh
+                )
+                chunked_step = lambda st, stacked, k: par_chunked(
+                    st, shard_stacked_batches(stacked, self.mesh), k
+                )
+            else:
+                chunked_step = make_chunked_train_step(
+                    self.model, self.config, chunk
+                )
         t_start = time.time()
         try:
             it = self.start_iter
@@ -196,6 +210,8 @@ class Trainer:
                     )
                 else:
                     for _, batch in group:
+                        if shard_one is not None:
+                            batch = shard_one(batch)
                         self.key, step_key = jax.random.split(self.key)
                         self.state, metrics = self.train_step(
                             self.state, batch, step_key
