@@ -859,3 +859,26 @@ class TestChunkedTrainStep:
         tr = Trainer(cfg, ds, None, str(tmp_path / "logs"), log_freq=4)
         state = tr.train()
         assert int(state.step) == 9  # 4 + 4 + 1 (remainder singles)
+
+    def test_trainer_runs_with_step_chunk_under_mesh(self, smoke_config,
+                                                     tmp_path):
+        """Trainer with a DP mesh AND step_chunk > 1 takes the sharded
+        chunked dispatch path end-to-end."""
+        import dataclasses
+
+        from agdiff_tpu.data.dataset import ConformationDataset
+        from agdiff_tpu.parallel import make_mesh
+        from agdiff_tpu.train.trainer import Trainer
+
+        cfg = dataclasses.replace(
+            smoke_config,
+            train=dataclasses.replace(smoke_config.train, step_chunk=2,
+                                      batch_size=8, max_iters=5,
+                                      val_freq=100),
+        )
+        ds = ConformationDataset(
+            synthetic_dataset(16, seed=1, min_heavy=3, max_heavy=4))
+        tr = Trainer(cfg, ds, None, str(tmp_path / "logs"),
+                     mesh=make_mesh(8), log_freq=2)
+        state = tr.train()
+        assert int(state.step) == 5  # 2 + 2 + 1 (remainder single)
