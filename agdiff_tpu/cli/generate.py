@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--synthetic_heavy", type=int, default=None,
                     help="max heavy atoms of the synthetic molecules "
                          "(default QM9-like 4-9; 20 ~= Drugs-size)")
+    ap.add_argument("--synthetic_rigid", action="store_true",
+                    help="deterministic tetrahedral geometry (matches "
+                         "cli.train --synthetic_rigid)")
     ap.add_argument("--start_idx", type=int, default=0)
     ap.add_argument("--end_idx", type=int, default=200)
     ap.add_argument("--num_confs", default="2x")
@@ -122,7 +125,8 @@ def main(argv=None):
             kw = dict(min_heavy=max(4, args.synthetic_heavy - 4),
                       max_heavy=args.synthetic_heavy)
         dataset = synthetic_dataset(
-            args.synthetic, seed=7, num_conformers=3, **kw
+            args.synthetic, seed=7, num_conformers=3,
+            rigid=args.synthetic_rigid, **kw
         )
     else:
         dataset = PackedConformationDataset(args.test_set).molecules

@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="train on N synthetic molecules (no dataset needed)")
+    ap.add_argument("--synthetic_rigid", action="store_true",
+                    help="deterministic tetrahedral geometry (conformation "
+                         "is a function of the graph -> fully learnable; "
+                         "default random-torsion molecules are not)")
     ap.add_argument("--num_devices", type=int, default=0,
                     help="data-parallel over this many devices (0 = single)")
     args = ap.parse_args(argv)
@@ -54,7 +58,8 @@ def main(argv=None):
     if args.synthetic:
         from agdiff_tpu.data.synthetic import synthetic_dataset
 
-        mols = synthetic_dataset(args.synthetic, seed=config.train.seed)
+        mols = synthetic_dataset(args.synthetic, seed=config.train.seed,
+                                 rigid=args.synthetic_rigid)
         split = max(1, int(len(mols) * 0.9))
         train_set = ConformationDataset(mols[:split])
         val_set = ConformationDataset(mols[split:])
