@@ -72,12 +72,12 @@ def random_molecule(
     pos = np.zeros((num_heavy, 3), np.float64)
     parent = np.zeros(num_heavy, np.int64)
     children: dict = {i: [] for i in range(num_heavy)}
-    for i in range(1, num_heavy):
-        p = int(rng.integers(0, i))
-        parent[i] = p
-        children[p].append(i)
-        pairs.append((p, i, int(BondType.SINGLE)))
     if rigid:
+        for i in range(1, num_heavy):
+            p = int(rng.integers(0, i))
+            parent[i] = p
+            children[p].append(i)
+            pairs.append((p, i, int(BondType.SINGLE)))
         # deterministic tetrahedral placement, children in index order
         axis = {0: np.array([0.0, 0.0, 1.0])}  # root pseudo-bond axis
         order = sorted(range(1, num_heavy))
@@ -119,8 +119,14 @@ def random_molecule(
             d = pos[i] - pos[int(parent[i])]
             axis[i] = d / np.linalg.norm(d)
     else:
+        # NOTE: parent and direction draws stay INTERLEAVED — the original
+        # rng call order — so rigid=False reproduces the exact molecules of
+        # earlier rounds for a given seed
         for i in range(1, num_heavy):
-            p = int(parent[i])
+            p = int(rng.integers(0, i))
+            parent[i] = p
+            children[p].append(i)
+            pairs.append((p, i, int(BondType.SINGLE)))
             direction = rng.normal(size=3)
             direction /= np.linalg.norm(direction)
             length = 0.5 * (_BOND_LEN[int(heavy[p])]
