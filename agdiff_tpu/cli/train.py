@@ -29,6 +29,9 @@ def main(argv=None):
                     help="deterministic tetrahedral geometry (conformation "
                          "is a function of the graph -> fully learnable; "
                          "default random-torsion molecules are not)")
+    ap.add_argument("--synthetic_heavy", type=int, default=None,
+                    help="max heavy atoms of the synthetic molecules "
+                         "(default QM9-like 4-9; 20 ~= Drugs-size)")
     ap.add_argument("--num_devices", type=int, default=0,
                     help="data-parallel over this many devices (0 = single)")
     args = ap.parse_args(argv)
@@ -58,8 +61,12 @@ def main(argv=None):
     if args.synthetic:
         from agdiff_tpu.data.synthetic import synthetic_dataset
 
+        kw = {}
+        if args.synthetic_heavy:
+            kw = dict(min_heavy=max(4, args.synthetic_heavy - 4),
+                      max_heavy=args.synthetic_heavy)
         mols = synthetic_dataset(args.synthetic, seed=config.train.seed,
-                                 rigid=args.synthetic_rigid)
+                                 rigid=args.synthetic_rigid, **kw)
         split = max(1, int(len(mols) * 0.9))
         train_set = ConformationDataset(mols[:split])
         val_set = ConformationDataset(mols[split:])

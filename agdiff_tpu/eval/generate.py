@@ -159,7 +159,10 @@ class GenerationRunner:
             if engine == "tight":
                 from agdiff_tpu.models.tight_forward import pair_capacity_for
 
-                capacity = pair_capacity_for(mol.num_nodes)
+                # coarse rounding (256) bounds the number of compiled
+                # ladder programs across molecule sizes; the tight win
+                # comes from capacity << bucket pairs, not exactness
+                capacity = pair_capacity_for(mol.num_nodes, multiple=256)
             result = self._sampler(bucket, retry=False, capacity=capacity,
                                    engine=engine)(
                 self.variables, batch, pos_init, run_key
