@@ -121,9 +121,11 @@ def main(argv=None):
         from agdiff_tpu.data.synthetic import synthetic_dataset
 
         kw = {}
-        if args.synthetic_heavy:
-            kw = dict(min_heavy=max(4, args.synthetic_heavy - 4),
-                      max_heavy=args.synthetic_heavy)
+        if args.synthetic_heavy is not None:
+            from agdiff_tpu.data.synthetic import heavy_range
+
+            lo, hi = heavy_range(args.synthetic_heavy)
+            kw = dict(min_heavy=lo, max_heavy=hi)
         dataset = synthetic_dataset(
             args.synthetic, seed=7, num_conformers=3,
             rigid=args.synthetic_rigid, **kw

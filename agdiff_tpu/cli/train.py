@@ -62,9 +62,11 @@ def main(argv=None):
         from agdiff_tpu.data.synthetic import synthetic_dataset
 
         kw = {}
-        if args.synthetic_heavy:
-            kw = dict(min_heavy=max(4, args.synthetic_heavy - 4),
-                      max_heavy=args.synthetic_heavy)
+        if args.synthetic_heavy is not None:
+            from agdiff_tpu.data.synthetic import heavy_range
+
+            lo, hi = heavy_range(args.synthetic_heavy)
+            kw = dict(min_heavy=lo, max_heavy=hi)
         mols = synthetic_dataset(args.synthetic, seed=config.train.seed,
                                  rigid=args.synthetic_rigid, **kw)
         split = max(1, int(len(mols) * 0.9))

@@ -23,6 +23,17 @@ _VALENCE = {6: 4, 7: 3, 8: 2, 9: 1, 1: 1}
 _BOND_LEN = {6: 1.52, 7: 1.45, 8: 1.41, 9: 1.38, 1: 1.09}
 
 
+def heavy_range(max_heavy: int, spread: int = 4) -> tuple:
+    """Clamped (min_heavy, max_heavy) from a user-facing size knob.
+
+    Without clamping, ``max(4, h - spread)`` exceeds ``h`` for h < 4 and
+    ``rng.integers(low, high)`` raises. Result satisfies 4 <= min <= max.
+    """
+    hi = max(int(max_heavy), 4)
+    lo = min(max(4, hi - spread), hi)
+    return lo, hi
+
+
 _TET_COS = 1.0 / 3.0                     # cos(70.53 deg): tetrahedral
 _TET_SIN = np.sqrt(8.0) / 3.0
 _TET_DIRS = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],

@@ -163,6 +163,8 @@ class GenerationRunner:
                 # ladder programs across molecule sizes; the tight win
                 # comes from capacity << bucket pairs, not exactness
                 capacity = pair_capacity_for(mol.num_nodes, multiple=256)
+                # guard against silent pair truncation (wrong conformers)
+                assert capacity >= n * (n - 1) // 2, (capacity, n)
             result = self._sampler(bucket, retry=False, capacity=capacity,
                                    engine=engine)(
                 self.variables, batch, pos_init, run_key
@@ -269,9 +271,6 @@ def load_samples(path: str) -> List[Molecule]:
 
 
 class PackedGenerationRunner(GenerationRunner):
-    # packed chunks mix molecules -> per-graph pair lists (full capacity)
-    _tight_shared = False
-
     """Generation with cross-molecule batch packing.
 
     The base runner replicates ONE molecule per fixed-size chunk (the
@@ -283,6 +282,9 @@ class PackedGenerationRunner(GenerationRunner):
     Results are identical in distribution (each sample still gets its own
     init noise and PRNG stream keyed by molecule index).
     """
+
+    # packed chunks mix molecules -> per-graph pair lists (full capacity)
+    _tight_shared = False
 
     def run(self, dataset, out_dir, seed=0, num_confs="2x", start_idx=0,
             end_idx=None, resume=True):

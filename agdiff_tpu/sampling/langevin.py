@@ -211,7 +211,14 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
       * 'mono' — ops/pallas/monolithic.py, the whole per-step forward as ONE
         Pallas kernel (edge tensors never leave VMEM; measured SLOWER than
         XLA fusion at bf16 — kept as the kernel-design testbed).
-    Parameters are baked into the closure (weights fold once on host)."""
+    Parameters are baked into the closure (weights fold once on host).
+
+    HAZARD: `pair_capacity` must be >= n_real*(n_real-1)//2 for every graph
+    that will run through the sampler — packed pair lists are silently
+    truncated past capacity (tight_forward.prepare_pairs), which drops edges
+    and generates wrong conformers. Size it with
+    tight_forward.pair_capacity_for(max_real_nodes) as GenerationRunner does
+    (eval/generate.py), or pass None for full-bucket capacity (always safe)."""
     import jax.numpy as jnp
 
     from agdiff_tpu.models.fast_forward import build_fast_forward

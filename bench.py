@@ -188,9 +188,10 @@ def _bench_train(args, dev, model_config):
     from agdiff_tpu.train.train_step import create_train_state, make_train_step
 
     cfg = Config(model=model_config, train=TrainConfig(batch_size=args.batch))
-    mols = synthetic_dataset(args.batch, seed=0,
-                             min_heavy=max(4, args.heavy - 2),
-                             max_heavy=args.heavy)
+    from agdiff_tpu.data.synthetic import heavy_range
+
+    lo, hi = heavy_range(args.heavy, spread=2)
+    mols = synthetic_dataset(args.batch, seed=0, min_heavy=lo, max_heavy=hi)
     batch = pad_molecules(mols, args.nodes, batch_size=args.batch)
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(0), max_nodes=args.nodes,
