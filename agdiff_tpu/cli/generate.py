@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--synthetic_rigid", action="store_true",
                     help="deterministic tetrahedral geometry (matches "
                          "cli.train --synthetic_rigid)")
+    ap.add_argument("--synthetic_chem", default="tree",
+                    choices=["tree", "rich"],
+                    help="matches cli.train --synthetic_chem")
     ap.add_argument("--start_idx", type=int, default=0)
     ap.add_argument("--end_idx", type=int, default=200)
     ap.add_argument("--num_confs", default="2x")
@@ -128,7 +131,7 @@ def main(argv=None):
             kw = dict(min_heavy=lo, max_heavy=hi)
         dataset = synthetic_dataset(
             args.synthetic, seed=7, num_conformers=3,
-            rigid=args.synthetic_rigid, **kw
+            rigid=args.synthetic_rigid, chem=args.synthetic_chem, **kw
         )
     else:
         dataset = PackedConformationDataset(args.test_set).molecules

@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--synthetic_heavy", type=int, default=None,
                     help="max heavy atoms of the synthetic molecules "
                          "(default QM9-like 4-9; 20 ~= Drugs-size)")
+    ap.add_argument("--synthetic_chem", default="tree",
+                    choices=["tree", "rich"],
+                    help="'rich' = rings + DOUBLE/TRIPLE/AROMATIC bonds + "
+                         "S/Cl heteroatoms (GEOM-like diversity)")
     ap.add_argument("--num_devices", type=int, default=0,
                     help="data-parallel over this many devices (0 = single)")
     args = ap.parse_args(argv)
@@ -68,7 +72,8 @@ def main(argv=None):
             lo, hi = heavy_range(args.synthetic_heavy)
             kw = dict(min_heavy=lo, max_heavy=hi)
         mols = synthetic_dataset(args.synthetic, seed=config.train.seed,
-                                 rigid=args.synthetic_rigid, **kw)
+                                 rigid=args.synthetic_rigid,
+                                 chem=args.synthetic_chem, **kw)
         split = max(1, int(len(mols) * 0.9))
         train_set = ConformationDataset(mols[:split])
         val_set = ConformationDataset(mols[split:])

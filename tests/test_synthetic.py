@@ -1,9 +1,18 @@
-"""Synthetic molecule generator invariants (both geometry modes)."""
+"""Synthetic molecule generator invariants (tree, rigid, and rich modes)."""
 
 import numpy as np
 import pytest
 
+from agdiff_tpu.chem.constants import BondType
 from agdiff_tpu.data.synthetic import synthetic_dataset
+
+_ORDER = {
+    int(BondType.SINGLE): 1.0,
+    int(BondType.DOUBLE): 2.0,
+    int(BondType.TRIPLE): 3.0,
+    int(BondType.AROMATIC): 1.5,
+}
+_VALENCE = {1: 1, 6: 4, 7: 3, 8: 2, 9: 1, 16: 2, 17: 1}
 
 
 @pytest.mark.parametrize("rigid", [False, True])
@@ -37,3 +46,79 @@ def test_rigid_is_deterministic_and_declashed():
             d[i, j] = 9e9
         worst = min(worst, d.min())
     assert worst > 0.6  # non-bonded atoms never collapse onto each other
+
+
+def test_rich_valence_exact_and_connected():
+    """Every atom's bond-order sum equals its element valence; one component."""
+    mols = synthetic_dataset(40, seed=3, chem="rich",
+                             min_heavy=5, max_heavy=16, num_conformers=2)
+    for m in mols:
+        n = len(m.atom_type)
+        used = np.zeros(n)
+        for (i, j), t in zip(m.bond_index.T, m.bond_type):
+            used[i] += _ORDER[int(t)]
+        # directed list: each undirected bond contributes once per endpoint
+        for a in range(n):
+            z = int(m.atom_type[a])
+            assert abs(used[a] - _VALENCE[z]) < 1e-6, (m.smiles, a, z, used[a])
+        # connectivity via BFS over the bond graph
+        seen = {0}
+        queue = [0]
+        adj = [[] for _ in range(n)]
+        for i, j in m.bond_index.T:
+            adj[i].append(int(j))
+        while queue:
+            for j in adj[queue.pop()]:
+                if j not in seen:
+                    seen.add(j)
+                    queue.append(j)
+        assert len(seen) == n
+        assert m.pos_ref.shape == (2 * n, 3)
+
+
+def test_rich_ring_closure_and_vocabulary():
+    """Cycle rank matches the planned rings; the full bond vocab appears."""
+    mols = synthetic_dataset(60, seed=5, chem="rich",
+                             min_heavy=6, max_heavy=18)
+    seen_types = set()
+    any_ring = False
+    for m in mols:
+        n = len(m.atom_type)
+        e_undirected = m.bond_index.shape[1] // 2
+        cycles = e_undirected - n + 1  # connected => cycle rank
+        assert cycles == len(m.meta["ring_sizes"])
+        if cycles:
+            any_ring = True
+            assert all(3 <= s <= 6 for s in m.meta["ring_sizes"])
+        seen_types.update(int(t) for t in m.bond_type)
+    assert any_ring
+    assert {int(BondType.SINGLE), int(BondType.DOUBLE),
+            int(BondType.AROMATIC)} <= seen_types
+
+
+def test_rich_geometry_sane():
+    """Bond lengths near their type-dependent targets; no atom collisions."""
+    for m in synthetic_dataset(30, seed=7, chem="rich",
+                               min_heavy=5, max_heavy=16):
+        p = m.pos
+        assert np.isfinite(p).all()
+        assert np.abs(p.mean(0)).max() < 1e-3
+        d = np.linalg.norm(p[m.bond_index[0]] - p[m.bond_index[1]], axis=-1)
+        assert d.min() > 0.8 and d.max() < 2.6
+        n = len(m.atom_type)
+        full = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        np.fill_diagonal(full, 9e9)
+        full[m.bond_index[0], m.bond_index[1]] = 9e9
+        assert full.min() > 0.7
+
+
+def test_rich_deterministic_and_validated():
+    a = synthetic_dataset(5, seed=11, chem="rich")
+    b = synthetic_dataset(5, seed=11, chem="rich")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.pos, y.pos)
+        np.testing.assert_array_equal(x.bond_type, y.bond_type)
+    with pytest.raises(ValueError):
+        synthetic_dataset(1, chem="nope")
+    with pytest.raises(ValueError):
+        synthetic_dataset(1, chem="rich", rigid=True)
