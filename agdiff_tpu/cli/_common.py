@@ -1,0 +1,54 @@
+"""Shared CLI plumbing: checkpoint resolution + model/config loading."""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env() -> None:
+    """Honor AGDIFF_PLATFORM=cpu|tpu|axon for CLI runs. The image's
+    sitecustomize force-registers the remote axon backend and overwrites
+    jax_platforms even when JAX_PLATFORMS=cpu is exported (see
+    .claude/skills/verify/SKILL.md), so an explicit jax.config.update after
+    import is the only way a CLI user can run on local CPU."""
+    plat = os.environ.get("AGDIFF_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def load_inference_bundle(ckpt_arg: str, ckpt_iter=None, dtype=None,
+                          logger=None):
+    """Resolve a log dir / native checkpoint / reference .pt checkpoint to
+    (config, variables, ckpt_path, iteration). The model config travels in
+    the checkpoint (reference: scripts/test.py:111); `dtype` overrides the
+    compute dtype (bfloat16 sampling of f32-trained models is the fastest
+    configuration)."""
+    from agdiff_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    if os.path.isdir(os.path.join(ckpt_arg, "checkpoints")):
+        ckpt_path, it = latest_checkpoint(ckpt_arg, ckpt_iter)
+    else:
+        ckpt_path, it = ckpt_arg, 0
+
+    if ckpt_path.endswith((".pt", ".pth")):
+        # a reference (PyTorch) checkpoint: import the weights directly
+        from agdiff_tpu.config import Config
+        from agdiff_tpu.train.import_torch import load_reference_checkpoint
+
+        variables, model_config = load_reference_checkpoint(ckpt_path)
+        config = Config(model=model_config)
+        if logger:
+            logger.info("imported reference torch checkpoint")
+    else:
+        ckpt = load_checkpoint(ckpt_path)
+        config = ckpt["config"]
+        variables = {"params": ckpt["params"],
+                     "batch_stats": ckpt["batch_stats"]}
+    if dtype:
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config, model=_dc.replace(config.model, dtype=dtype))
+    return config, variables, ckpt_path, it

@@ -12,6 +12,9 @@ import os
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("samples", help="samples_all.npz from cli.generate")
     ap.add_argument("--use_ff", "--useFF", action="store_true")

@@ -15,6 +15,9 @@ import argparse
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("samples", help="samples_all.npz from cli.generate")
     ap.add_argument("--num_confs", type=int, default=50)

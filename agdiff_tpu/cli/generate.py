@@ -16,6 +16,9 @@ import os
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", help="log dir (uses latest/best ckpt) or ckpt "
                                  "path; reference .pt checkpoints are "
@@ -61,11 +64,12 @@ def main(argv=None):
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--engine", default=None,
-                    choices=["xla", "tight", "mono"],
+                    choices=["xla", "tight", "mono", "approx", "tight-approx"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
-                         "molecule (shared per chunk unless --packed); "
-                         "mono = whole-forward Pallas kernel")
+                         "molecule; mono = whole-forward Pallas kernel; "
+                         "approx/tight-approx = polynomial transcendentals "
+                         "(ops/approx.py, quality-gated)")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
     ap.add_argument("--packed", action="store_true",
@@ -78,6 +82,7 @@ def main(argv=None):
                          "is the fastest configuration)")
     args = ap.parse_args(argv)
 
+    from agdiff_tpu.cli._common import load_inference_bundle
     from agdiff_tpu.data.dataset import PackedConformationDataset
     from agdiff_tpu.eval.generate import (
         GenerationRunner,
@@ -86,7 +91,7 @@ def main(argv=None):
     from agdiff_tpu.models.dualenc import get_model
     from agdiff_tpu.models.schedules import make_diffusion
     from agdiff_tpu.sampling.langevin import SamplerConfig
-    from agdiff_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+    from agdiff_tpu.train.checkpoint import latest_checkpoint
     from agdiff_tpu.utils.logging import get_logger
 
     if os.path.isdir(os.path.join(args.ckpt, "checkpoints")):
@@ -99,24 +104,8 @@ def main(argv=None):
     logger = get_logger("generate", out_dir)
     logger.info("checkpoint: %s -> out: %s", ckpt_path, out_dir)
 
-    if ckpt_path.endswith((".pt", ".pth")):
-        # a reference (PyTorch) checkpoint: import the weights directly
-        from agdiff_tpu.config import Config
-        from agdiff_tpu.train.import_torch import load_reference_checkpoint
-
-        variables, model_config = load_reference_checkpoint(ckpt_path)
-        config = Config(model=model_config)
-        logger.info("imported reference torch checkpoint")
-    else:
-        ckpt = load_checkpoint(ckpt_path)
-        config = ckpt["config"]
-        variables = {"params": ckpt["params"],
-                     "batch_stats": ckpt["batch_stats"]}
-    if args.dtype:
-        import dataclasses as _dc
-
-        config = _dc.replace(config, model=_dc.replace(config.model,
-                                                       dtype=args.dtype))
+    config, variables, _, _ = load_inference_bundle(
+        args.ckpt, args.ckpt_iter, args.dtype, logger)
     model = get_model(config.model)
     diffusion = make_diffusion(config.model)
 

@@ -16,6 +16,9 @@ import os
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,133 @@
+"""Persistent generation server CLI.
+
+Loads a checkpoint once, AOT-pre-warms the bucket ladder programs, then
+answers generation requests over TCP (agdiff_tpu/serve/server.py protocol)
+reusing the compiled-sampler cache — the reference's one-shot pattern
+(scripts/test.py:124-195) pays the minutes-scale ladder compile per
+invocation; here only the first warm-up does.
+
+Server:
+  python -m agdiff_tpu.cli.serve <log_dir_or_ckpt> --port 7521 \
+      [--warm_nodes 24,48] [--fast] [--engine tight] [--n_steps 5000] ...
+
+Client (one JSON request, prints the JSON reply):
+  python -m agdiff_tpu.cli.serve --submit \
+      '{"cmd": "generate", "test_set": "mols.npz", "out_dir": "out"}' \
+      --port 7521
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt", nargs="?", default=None,
+                    help="log dir (latest/best ckpt) or ckpt path; "
+                         "reference .pt imported automatically. Omit with "
+                         "--submit (client mode).")
+    ap.add_argument("--ckpt_iter", type=int, default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7521)
+    ap.add_argument("--submit", default=None,
+                    help="client mode: send this JSON request and print "
+                         "the reply")
+    ap.add_argument("--warm_nodes", default="",
+                    help="comma list of molecule sizes (total atoms) to "
+                         "AOT-compile at startup, e.g. 24,48")
+    ap.add_argument("--warm_samples", type=int, default=None,
+                    help="samples-per-molecule the warm programs cover "
+                         "(default: one full chunk)")
+    ap.add_argument("--warm_retry", action="store_true",
+                    help="also pre-compile the clip_local retry programs")
+    # sampling flags (fixed per server: they are baked into the compiled
+    # ladders; start another server for different sampling hyperparameters)
+    ap.add_argument("--n_steps", type=int, default=5000)
+    ap.add_argument("--ladder", default="suffix",
+                    choices=["suffix", "strided"])
+    ap.add_argument("--step_lr", type=float, default=1e-6)
+    ap.add_argument("--w_global", type=float, default=1.0)
+    ap.add_argument("--global_start_sigma", type=float, default=0.5)
+    ap.add_argument("--clip", type=float, default=1000.0)
+    ap.add_argument("--clip_local", type=float, default=None)
+    ap.add_argument("--clip_pos", type=float, default=None)
+    ap.add_argument("--chunk_size", type=int, default=64)
+    ap.add_argument("--num_devices", type=int, default=0)
+    ap.add_argument("--engine", default=None,
+                    choices=["xla", "tight", "mono"])
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    if args.submit is not None:
+        from agdiff_tpu.serve.server import submit
+
+        reply = submit(json.loads(args.submit), host=args.host,
+                       port=args.port)
+        print(json.dumps(reply))
+        return 0 if reply.get("ok") else 1
+
+    if not args.ckpt:
+        ap.error("ckpt is required in server mode")
+
+    from agdiff_tpu.cli._common import load_inference_bundle
+    from agdiff_tpu.eval.generate import (
+        GenerationRunner,
+        PackedGenerationRunner,
+    )
+    from agdiff_tpu.models.dualenc import get_model
+    from agdiff_tpu.models.schedules import make_diffusion
+    from agdiff_tpu.sampling.langevin import SamplerConfig
+    from agdiff_tpu.serve.server import GenerationService, probe_molecule
+    from agdiff_tpu.utils.logging import get_logger
+
+    logger = get_logger("serve")
+    config, variables, ckpt_path, _ = load_inference_bundle(
+        args.ckpt, args.ckpt_iter, args.dtype, logger)
+    logger.info("checkpoint: %s", ckpt_path)
+    model = get_model(config.model)
+    diffusion = make_diffusion(config.model)
+    scfg = SamplerConfig(
+        n_steps=args.n_steps, ladder=args.ladder,
+        step_lr=args.step_lr, w_global=args.w_global,
+        global_start_sigma=args.global_start_sigma, clip=args.clip,
+        clip_local=args.clip_local, clip_pos=args.clip_pos,
+    )
+    mesh = None
+    if args.num_devices:
+        from agdiff_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+    runner_cls = PackedGenerationRunner if args.packed else GenerationRunner
+    runner = runner_cls(
+        model, variables, diffusion, scfg,
+        buckets=config.buckets.max_nodes, chunk_size=args.chunk_size,
+        mesh=mesh, logger=logger, use_fast=args.fast,
+        model_config=config.model,
+        engine=(None if args.engine == "xla" else args.engine),
+    )
+    service = GenerationService(runner, logger=logger)
+    if args.warm_nodes:
+        import time
+
+        t0 = time.time()
+        for n in args.warm_nodes.split(","):
+            compiled = runner.warm(probe_molecule(int(n)),
+                                   num_samples=args.warm_samples,
+                                   retry=args.warm_retry)
+            logger.info("warmed %s: %s", n, compiled)
+        logger.info("warm-up done in %.1fs", time.time() - t0)
+    service.serve(host=args.host, port=args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

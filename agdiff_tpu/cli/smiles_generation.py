@@ -18,6 +18,9 @@ import os
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", help="log dir or checkpoint path")
     ap.add_argument("--smiles", required=True)

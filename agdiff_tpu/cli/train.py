@@ -17,6 +17,9 @@ import shutil
 
 
 def main(argv=None):
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="config YAML, or a log dir to resume")
     ap.add_argument("--resume_iter", type=int, default=None)

@@ -30,6 +30,39 @@ from agdiff_tpu.models.schedules import Diffusion
 from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
 
 
+class _SamplerHandle:
+    """Uniform (variables, batch, pos_init, key) sampler wrapper.
+
+    fast=True closures bake parameters in and take (batch, pos, key).
+    warm() AOT-compiles (jit.lower().compile()) an executable keyed by the
+    batch's position shape and __call__ prefers it — jit's own dispatch
+    cache does not learn from manual lower/compile, so the executables are
+    kept here; batch sizes never warmed fall back to the plain jit path."""
+
+    def __init__(self, fn, fast: bool):
+        self.fn = fn
+        self.fast = fast
+        self.compiled: Dict[tuple, object] = {}
+
+    def _args(self, variables, batch, pos_init, key):
+        if self.fast:
+            return (batch, pos_init, key)
+        return (variables, batch, pos_init, key)
+
+    def warm(self, variables, batch, pos_abs, key) -> bool:
+        sig = tuple(batch.pos.shape)
+        if sig not in self.compiled and hasattr(self.fn, "lower"):
+            self.compiled[sig] = self.fn.lower(
+                *self._args(variables, batch, pos_abs, key)).compile()
+            return True
+        return False
+
+    def __call__(self, variables, batch, pos_init, key):
+        ex = self.compiled.get(tuple(batch.pos.shape))
+        fn = self.fn if ex is None else ex
+        return fn(*self._args(variables, batch, pos_init, key))
+
+
 class GenerationRunner:
     def __init__(
         self,
@@ -83,26 +116,34 @@ class GenerationRunner:
         key = (bucket, retry, capacity, engine)
         if key not in self._samplers:
             cfg = self.retry_config if retry else self.sampler_config
-            if self.use_fast and self.mesh is None:
+            if self.use_fast:
+                # fast engines compose with a mesh: build_fast_sampler
+                # shards the batch over it (per-graph math, no collectives)
                 from agdiff_tpu.sampling.langevin import build_fast_sampler
 
                 fast = build_fast_sampler(
                     self.model_config, self.variables, self.diffusion, cfg,
                     use_pallas=False, engine=engine,
                     pair_capacity=capacity,
-                    shared_pairs=(engine == "tight" and self._tight_shared),
+                    shared_pairs=(engine in ("tight", "tight-approx")
+                                  and self._tight_shared),
+                    mesh=self.mesh,
                 )
-                self._samplers[key] = (
-                    lambda v, b, p, k, _f=fast: _f(b, p, k)
-                )
+                self._samplers[key] = _SamplerHandle(fast, fast=True)
             elif self.mesh is not None:
                 from agdiff_tpu.parallel.data_parallel import make_parallel_sampler
 
-                self._samplers[key] = make_parallel_sampler(
-                    self.model, self.diffusion, cfg, self.mesh
+                self._samplers[key] = _SamplerHandle(
+                    make_parallel_sampler(
+                        self.model, self.diffusion, cfg, self.mesh
+                    ),
+                    fast=False,
                 )
             else:
-                self._samplers[key] = build_sampler(self.model, self.diffusion, cfg)
+                self._samplers[key] = _SamplerHandle(
+                    build_sampler(self.model, self.diffusion, cfg),
+                    fast=False,
+                )
         return self._samplers[key]
 
     def num_samples_for(self, mol: Molecule, num_confs: str | int = "2x") -> int:
@@ -129,17 +170,70 @@ class GenerationRunner:
             b = -(-b // ndev) * ndev
         return min(b, self.chunk_size)
 
-    def generate_molecule(
-        self, mol: Molecule, num_samples: int, key: jax.Array
-    ) -> np.ndarray:
-        """Generate num_samples conformers; returns (num_samples, N, 3)."""
+    def _bucket_for(self, mol: Molecule) -> int:
         try:
-            bucket = pick_bucket(mol.num_nodes, self.buckets)
+            return pick_bucket(mol.num_nodes, self.buckets)
         except ValueError:
             # molecule larger than every configured bucket: round up to the
             # next multiple of 8 (a new compiled program, but no failure)
             bucket = (mol.num_nodes + 7) // 8 * 8
             self.buckets = tuple(sorted(set(self.buckets) | {bucket}))
+            return bucket
+
+    def _capacity_for(self, mol: Molecule, engine: Optional[str]):
+        if engine not in ("tight", "tight-approx"):
+            return None
+        from agdiff_tpu.models.tight_forward import pair_capacity_for
+
+        # coarse rounding (256) bounds the number of compiled ladder
+        # programs across molecule sizes; the tight win comes from
+        # capacity << bucket pairs, not exactness
+        n = mol.num_nodes
+        capacity = pair_capacity_for(n, multiple=256)
+        # guard against silent pair truncation (wrong conformers)
+        assert capacity >= n * (n - 1) // 2, (capacity, n)
+        return capacity
+
+    def warm(self, mol: Molecule, num_samples: Optional[int] = None,
+             retry: bool = False) -> List[tuple]:
+        """AOT-compile every ladder program ``generate_molecule(mol,
+        num_samples)`` would run, without executing any of them. The
+        persistent generation service (agdiff_tpu.serve) calls this at
+        startup so the first request doesn't pay the ladder compile
+        (minutes cold, ~1 min with a warm XLA disk cache). retry=True also
+        compiles the clip_local retry program. Returns the
+        (bucket, batch_size, retry) programs newly compiled."""
+        num_samples = num_samples or self.chunk_size
+        bucket = self._bucket_for(mol)
+        engine = self._engine_for(bucket)
+        capacity = self._capacity_for(mol, engine)
+        sizes = set()
+        remaining = num_samples
+        while remaining > 0:
+            count = min(remaining, self.chunk_size)
+            sizes.add(self._batch_size_for(count))
+            remaining -= count
+        compiled = []
+        for bsz in sorted(sizes):
+            batch = pad_molecules([mol] * bsz, bucket, batch_size=bsz)
+            if self.mesh is not None:
+                from agdiff_tpu.parallel.data_parallel import shard_graph_batch
+
+                batch = shard_graph_batch(batch, self.mesh)
+            pos_abs = jax.ShapeDtypeStruct(batch.pos.shape, batch.pos.dtype)
+            key_c = jax.random.PRNGKey(0)
+            for r in ((False, True) if retry else (False,)):
+                sampler = self._sampler(bucket, retry=r, capacity=capacity,
+                                        engine=engine)
+                if sampler.warm(self.variables, batch, pos_abs, key_c):
+                    compiled.append((bucket, bsz, r))
+        return compiled
+
+    def generate_molecule(
+        self, mol: Molecule, num_samples: int, key: jax.Array
+    ) -> np.ndarray:
+        """Generate num_samples conformers; returns (num_samples, N, 3)."""
+        bucket = self._bucket_for(mol)
         n = mol.num_nodes
         out: List[np.ndarray] = []
         remaining = num_samples
@@ -155,16 +249,7 @@ class GenerationRunner:
                 batch = shard_graph_batch(batch, self.mesh)
             pos_init = jax.random.normal(init_key, batch.pos.shape)
             engine = self._engine_for(bucket)
-            capacity = None
-            if engine == "tight":
-                from agdiff_tpu.models.tight_forward import pair_capacity_for
-
-                # coarse rounding (256) bounds the number of compiled
-                # ladder programs across molecule sizes; the tight win
-                # comes from capacity << bucket pairs, not exactness
-                capacity = pair_capacity_for(mol.num_nodes, multiple=256)
-                # guard against silent pair truncation (wrong conformers)
-                assert capacity >= n * (n - 1) // 2, (capacity, n)
+            capacity = self._capacity_for(mol, engine)
             result = self._sampler(bucket, retry=False, capacity=capacity,
                                    engine=engine)(
                 self.variables, batch, pos_init, run_key
@@ -281,10 +366,22 @@ class PackedGenerationRunner(GenerationRunner):
     utilization on real test sets where num_refs varies per molecule.
     Results are identical in distribution (each sample still gets its own
     init noise and PRNG stream keyed by molecule index).
-    """
 
-    # packed chunks mix molecules -> per-graph pair lists (full capacity)
-    _tight_shared = False
+    Tight engine: whenever a bucket selects 'tight' (auto at bucket >= 40,
+    or explicit engine='tight'), slots are grouped by (bucket, atom count)
+    instead of just bucket — molecules with the same atom count share one
+    packed pair list, so every chunk runs the fast SHARED-pair-list layout.
+    (The per-graph pair layout was measured SLOWER than fast-xla at N=64 —
+    0.85x, B=48 bf16, molecule-sized capacity — because per-graph (B,P,N)
+    one-hot aggregation matmuls and gathers dominate; size-homogeneous
+    chunks keep the 3.18x shared-engine win instead. Round-3 A/B,
+    tools/ab_engines.py --engines fast-xla,fast-tight,fast-tight-pg.)
+    Packing only degrades when atom counts are very diverse AND per-size
+    sample counts are small — then partial chunks appear per size class;
+    _batch_size_for right-sizes them."""
+
+    # size-homogeneous grouping (run()) makes shared pair lists valid
+    _tight_shared = True
 
     def run(self, dataset, out_dir, seed=0, num_confs="2x", start_idx=0,
             end_idx=None, resume=True):
@@ -300,18 +397,22 @@ class PackedGenerationRunner(GenerationRunner):
                 continue
             todo.append((i, mol, self.num_samples_for(mol, num_confs)))
 
-        # group by bucket, then fill chunk_size-slot batches greedily
-        by_bucket: Dict[int, list] = {}
+        # group by bucket — and by atom count too when the bucket selects
+        # the tight engine, so every chunk is size-homogeneous and the fast
+        # SHARED pair-list layout applies (see class docstring)
+        by_group: Dict[tuple, list] = {}
         for i, mol, ns in todo:
-            try:
-                bucket = pick_bucket(mol.num_nodes, self.buckets)
-            except ValueError:
-                bucket = (mol.num_nodes + 7) // 8 * 8
-                self.buckets = tuple(sorted(set(self.buckets) | {bucket}))
-            by_bucket.setdefault(bucket, []).append((i, mol, ns))
+            bucket = self._bucket_for(mol)
+            size = (mol.num_nodes
+                    if self._engine_for(bucket) in ("tight", "tight-approx")
+                    else None)
+            by_group.setdefault((bucket, size), []).append((i, mol, ns))
 
         collected: Dict[int, list] = {i: [] for i, _, _ in todo}
-        for bucket, items in by_bucket.items():
+        chunk_no = 0  # global counter -> unique ladder-noise key per chunk
+        for (bucket, _size), items in by_group.items():
+            engine = self._engine_for(bucket)
+            capacity = self._capacity_for(items[0][1], engine)
             # expand into per-sample slots: (dataset_idx, mol, sample_idx)
             slots = [
                 (i, mol, k)
@@ -338,19 +439,17 @@ class PackedGenerationRunner(GenerationRunner):
                         kk, (batch.max_nodes, 3))
                 )(keys)
                 run_key = jax.random.fold_in(
-                    jax.random.PRNGKey(seed ^ 0x5EED), start)
-                # mixed-molecule chunks: an explicit engine='tight' uses
-                # per-graph pair lists (full bucket capacity); no
-                # auto-selection here (_tight_shared is False)
+                    jax.random.PRNGKey(seed ^ 0x5EED), chunk_no)
+                chunk_no += 1
                 result = self._sampler(bucket, retry=False,
-                                       engine=self.engine)(
+                                       capacity=capacity, engine=engine)(
                     self.variables, batch, pos_init, run_key
                 )
                 pos = np.asarray(result.pos)
                 flags = np.asarray(result.nan_flags)
                 if flags.any():
                     retry = self._sampler(bucket, retry=True,
-                                          engine=self.engine)(
+                                          capacity=capacity, engine=engine)(
                         self.variables, batch, pos_init,
                         jax.random.fold_in(run_key, 1),
                     )

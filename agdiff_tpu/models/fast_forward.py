@@ -59,8 +59,8 @@ def _embed_lookup(table, ids, max_norm=None):
     return e
 
 
-def _ssp(x, beta):
-    return jax.nn.softplus(beta * x) - LN2
+def _ssp(x, beta, sp=jax.nn.softplus):
+    return sp(beta * x) - LN2
 
 
 def fold_eval_params(config: ModelConfig, variables: Dict[str, Any]):
@@ -132,28 +132,28 @@ def fold_eval_params(config: ModelConfig, variables: Dict[str, Any]):
     )
 
 
-def edge_encode(enc_params, edge_length, edge_type):
+def edge_encode(enc_params, edge_length, edge_type, gelu=jax.nn.gelu):
     """MLPEdgeEncoder, minus the identity softmax attention."""
     k, b = _linear(enc_params["feature_expansion"])
-    expanded = jax.nn.gelu(edge_length * k[0] + b)
+    expanded = gelu(edge_length * k[0] + b)
     bond = enc_params["bond_emb"]["embedding"][edge_type]
     x = jnp.concatenate([expanded, bond], axis=-1)
     k, b = _linear(enc_params["edge_feature_mlp_0"])
-    x = jax.nn.gelu(x @ k + b)
+    x = gelu(x @ k + b)
     k, b = _linear(enc_params["edge_feature_mlp_1"])
     x = x @ k + b
     y = jnp.concatenate([x, bond], axis=-1)
     k, b = _linear(enc_params["combination_mlp_0"])
-    y = jax.nn.gelu(y @ k + b)
+    y = gelu(y @ k + b)
     k, b = _linear(enc_params["combination_mlp_1"])
     return y @ k + b
 
 
-def distance_weight(conv, el):
+def distance_weight(conv, el, sigmoid=jax.nn.sigmoid):
     k1, b1 = conv["dw1"]
     k2, b2 = conv["dw2"]
     x = jax.nn.relu(el * k1[0] + b1)
-    return jax.nn.sigmoid(x @ k2 + b2)[..., 0]
+    return sigmoid(x @ k2 + b2)[..., 0]
 
 
 def envelope(d, cfg: ModelConfig):
@@ -174,6 +174,7 @@ def node_input(conv, h):
 def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
+    approx: bool = False,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -185,7 +186,14 @@ def build_fast_forward(
     edge features, scores are all symmetric in (i, j)): the edge encoder and
     the pair-score MLPs run over the N(N-1)/2 unordered pairs instead of all
     N^2 ordered pairs (2.07x fewer rows), then results gather back to the
-    dense layout the aggregations consume. Values are identical."""
+    dense layout the aggregations consume. Values are identical.
+
+    approx=True swaps the hot transcendentals (softplus/sigmoid/gelu) for
+    the polynomial/rational approximations in ops/approx.py — the per-step
+    forward is VPU-transcendental-bound (CLAUDE.md cost model), and every
+    approximation is below bf16 quantization noise. NOT value-identical to
+    the module path; acceptance is protocol quality (tools/ab_engines.py
+    fast-approx, README engine matrix)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -197,8 +205,27 @@ def build_fast_forward(
             "attention; the non-reference 'sigmoid' gate needs the module "
             "path."
         )
+    if approx and use_pallas:
+        raise ValueError("approx engines use the XLA path (use_pallas=False)")
     cfg = config
-    act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[cfg.mlp_act]
+    if approx:
+        from agdiff_tpu.ops import approx as _ax
+
+        sp_fn, sig_fn, gelu_fn = _ax.softplus, _ax.sigmoid, _ax.gelu
+    else:
+        sp_fn, sig_fn, gelu_fn = (jax.nn.softplus, jax.nn.sigmoid,
+                                  jax.nn.gelu)
+
+    def ssp(x, beta):
+        return _ssp(x, beta, sp=sp_fn)
+
+    def dweight(conv, el):
+        return distance_weight(conv, el, sigmoid=sig_fn)
+
+    def encode(enc_params, el, tp):
+        return edge_encode(enc_params, el, tp, gelu=gelu_fn)
+
+    act = {"relu": jax.nn.relu, "gelu": gelu_fn}[cfg.mlp_act]
 
     folded = fold_eval_params(config, variables)
     ee, ee_local = folded["ee"], folded["ee_local"]
@@ -207,10 +234,10 @@ def build_fast_forward(
     grad_global, grad_local = folded["grad_global"], folded["grad_local"]
 
     def cf_pathway_xla(conv, h, edge_attr, el, env_mask):
-        lw = distance_weight(conv, el)
+        lw = dweight(conv, el)
         w_edge = lw * env_mask  # (B, N, N)
         x = node_input(conv, h)
-        w = _ssp(edge_attr.astype(jnp.float32) @ conv["fa"][0]
+        w = ssp(edge_attr.astype(jnp.float32) @ conv["fa"][0]
                  + conv["fa"][1], conv["beta"])
         w = (w @ conv["fb"][0] + conv["fb"][1]) * w_edge[..., None]
         return jnp.einsum("bijf,bjf->bif", w, x)
@@ -218,10 +245,10 @@ def build_fast_forward(
     def cf_pathway_packed(conv, h, e_packed, pair_id, el, env_mask):
         # filter MLP over unordered pairs (the filter is symmetric in (i,j)
         # because edge_attr is), mirrored to dense only for the aggregation
-        lw = distance_weight(conv, el)
+        lw = dweight(conv, el)
         w_edge = lw * env_mask
         x = node_input(conv, h)
-        wp = _ssp(e_packed.astype(jnp.float32) @ conv["fa"][0]
+        wp = ssp(e_packed.astype(jnp.float32) @ conv["fa"][0]
                   + conv["fa"][1], conv["beta"])
         wp = wp @ conv["fb"][0] + conv["fb"][1]        # (B, P, F)
         w = wp[:, pair_id] * w_edge[..., None]          # (B, N, N, F)
@@ -286,20 +313,20 @@ def build_fast_forward(
             pair_id = jnp.asarray(pair_id_np)
             el_packed = dist[:, iu, ju][..., None]        # (B, P, 1)
             type_packed = edge_type[:, iu, ju]            # (B, P)
-            e_packed = edge_encode(ee, el_packed, type_packed).astype(
+            e_packed = encode(ee, el_packed, type_packed).astype(
                 compute_dtype)
             edge_attr = e_packed[:, pair_id, :]           # dense mirror
             if ee_local is None:
                 e_packed_local, edge_attr_local = e_packed, edge_attr
             else:
-                e_packed_local = edge_encode(
+                e_packed_local = encode(
                     ee_local, el_packed, type_packed).astype(compute_dtype)
                 edge_attr_local = e_packed_local[:, pair_id, :]
         else:
-            edge_attr = edge_encode(ee, el, edge_type).astype(compute_dtype)
+            edge_attr = encode(ee, el, edge_type).astype(compute_dtype)
             edge_attr_local = (
                 edge_attr if ee_local is None
-                else edge_encode(ee_local, el, edge_type).astype(compute_dtype)
+                else encode(ee_local, el, edge_type).astype(compute_dtype)
             )
 
         # --- SchNet global branch ---
@@ -310,8 +337,8 @@ def build_fast_forward(
             if use_pallas:
                 a1, a2 = interaction_block_aggregate(
                     edge_attr,
-                    distance_weight(c1, el) * env_mask,
-                    distance_weight(c2, el) * env_mask,
+                    dweight(c1, el) * env_mask,
+                    dweight(c2, el) * env_mask,
                     node_input(c1, h), node_input(c2, h), c1, c2,
                 )
             elif pack_pairs:
@@ -324,16 +351,16 @@ def build_fast_forward(
             p1 = a1 @ k + b
             k, b = c2["lin2"]
             p2 = a2 @ k + b
-            combined = _ssp(jnp.concatenate([p1, p2], axis=-1),
+            combined = ssp(jnp.concatenate([p1, p2], axis=-1),
                             blk["act_beta"])
             k, b = blk["lin"]
             combined = combined @ k + b
             k, b = blk["att0"]
             gate = jax.nn.relu(combined @ k + b)
             k, b = blk["att1"]
-            gate = jax.nn.sigmoid(gate @ k + b)
+            gate = sig_fn(gate @ k + b)
             out = combined * gate
-            out = out * jax.nn.sigmoid(
+            out = out * sig_fn(
                 jax.nn.relu(out @ blk["se0"]) @ blk["se1"]
             )
             h = h + out

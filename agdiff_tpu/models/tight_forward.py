@@ -170,7 +170,7 @@ def build_filter_tables(cfg: ModelConfig, folded, num_types: int,
 def build_tight_forward(
     config: ModelConfig, variables: Dict[str, Any],
     compute_dtype=jnp.float32, capacity: Optional[int] = None,
-    shared: bool = False, tabulate: int = 0,
+    shared: bool = False, tabulate: int = 0, approx: bool = False,
 ):
     """Returns forward(batch, ..., pairs=None) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). `capacity` is the static
@@ -178,7 +178,10 @@ def build_tight_forward(
     returned closure also exposes forward.prepare(batch) -> PairPack for the
     sampler to hoist pair construction out of the step scan. shared=True
     uses graph 0's pair list for the whole batch — valid ONLY for batches of
-    one repeated molecule (the reference generation pattern)."""
+    one repeated molecule (the reference generation pattern). approx=True
+    swaps softplus/sigmoid/gelu for the sub-bf16-noise polynomial
+    approximations in ops/approx.py (see fast_forward.build_fast_forward;
+    NOT value-identical, quality-gated)."""
     cfg = config
     if cfg.edge_encoder != "mlp":
         raise NotImplementedError(
@@ -189,7 +192,24 @@ def build_tight_forward(
             "tight_forward elides the reference's identity softmax edge "
             "attention; the non-reference 'sigmoid' gate needs the module "
             "path.")
-    act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[cfg.mlp_act]
+    if approx:
+        from agdiff_tpu.ops import approx as _ax
+
+        sp_fn, sig_fn, gelu_fn = _ax.softplus, _ax.sigmoid, _ax.gelu
+    else:
+        sp_fn, sig_fn, gelu_fn = (jax.nn.softplus, jax.nn.sigmoid,
+                                  jax.nn.gelu)
+
+    def ssp(x, beta):
+        return _ssp(x, beta, sp=sp_fn)
+
+    def dweight(conv, el):
+        return distance_weight(conv, el, sigmoid=sig_fn)
+
+    def encode(enc_params, el, tp):
+        return edge_encode(enc_params, el, tp, gelu=gelu_fn)
+
+    act = {"relu": jax.nn.relu, "gelu": gelu_fn}[cfg.mlp_act]
     cd = compute_dtype
     f32 = jnp.float32
 
@@ -230,7 +250,7 @@ def build_tight_forward(
 
     def cf_pathway(conv, h_cd, e_p, wedge, pk):
         """One CFConv pathway over packed pairs; returns (B, N, F') f32."""
-        wflt = _ssp(e_p.astype(f32) @ conv["fa"][0] + conv["fa"][1],
+        wflt = ssp(e_p.astype(f32) @ conv["fa"][0] + conv["fa"][1],
                     conv["beta"])
         wp = ((wflt @ conv["fb"][0] + conv["fb"][1])
               * wedge[..., None]).astype(cd)                 # (B, E, F')
@@ -320,9 +340,9 @@ def build_tight_forward(
         lm_p = take(local_mask, f32) * pk.valid
         tp_p = take(edge_type, jnp.int32)
 
-        e_p = edge_encode(ee, d_p[..., None], tp_p).astype(cd)   # (B, E, H)
+        e_p = encode(ee, d_p[..., None], tp_p).astype(cd)   # (B, E, H)
         e_p_local = (e_p if ee_local is None else
-                     edge_encode(ee_local, d_p[..., None], tp_p).astype(cd))
+                     encode(ee_local, d_p[..., None], tp_p).astype(cd))
         env_p = envelope(d_p, cfg) * em_p                     # (B, E)
         d3 = d_p[..., None]
 
@@ -342,20 +362,20 @@ def build_tight_forward(
                 p2 = cf_aggregate(c2, h_cd,
                                   wp_all[..., offs[o + 1]:offs[o + 2]], pk)
             else:
-                wedge1 = distance_weight(c1, d3) * env_p
-                wedge2 = distance_weight(c2, d3) * env_p
+                wedge1 = dweight(c1, d3) * env_p
+                wedge2 = dweight(c2, d3) * env_p
                 p1 = cf_pathway(c1, h_cd, e_p, wedge1, pk)
                 p2 = cf_pathway(c2, h_cd, e_p, wedge2, pk)
-            combined = _ssp(jnp.concatenate([p1, p2], axis=-1),
+            combined = ssp(jnp.concatenate([p1, p2], axis=-1),
                             blk["act_beta"])
             k, bb = blk["lin"]
             combined = combined @ k + bb
             k, bb = blk["att0"]
             gate = jax.nn.relu(combined @ k + bb)
             k, bb = blk["att1"]
-            gate = jax.nn.sigmoid(gate @ k + bb)
+            gate = sig_fn(gate @ k + bb)
             out = combined * gate
-            out = out * jax.nn.sigmoid(
+            out = out * sig_fn(
                 jax.nn.relu(out @ blk["se0"]) @ blk["se1"])
             h = h + out
 

@@ -87,10 +87,20 @@ def shard_stacked_batches(stacked: GraphBatch, mesh: Mesh) -> GraphBatch:
     return jax.tree_util.tree_map(_put, stacked, _batch_spec(mesh))
 
 
-def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh):
+def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh,
+                          forward_fn=None):
     """DP version of sampling.langevin.build_sampler: each chip runs the
     Langevin ladder on its shard of the molecule batch (generation is
-    embarrassingly parallel across molecules)."""
+    embarrassingly parallel across molecules).
+
+    forward_fn: an optimized inference closure (models/fast_forward.py,
+    models/tight_forward.py, ...) used instead of model.apply — same
+    contract as langevin_dynamics_sample(forward_fn=...). Parameters are
+    baked into the closure, so `variables` is ignored on that path (kept
+    in the signature so GenerationRunner can call every sampler variant
+    uniformly). The fast-engine builder path is
+    sampling.build_fast_sampler(mesh=...); this hook exists for callers
+    holding a custom forward closure."""
     from agdiff_tpu.sampling.langevin import langevin_dynamics_sample
 
     batch_sh = jax.tree_util.tree_map(
@@ -102,7 +112,8 @@ def make_parallel_sampler(model, diffusion, sampler_config, mesh: Mesh):
 
     def run(variables, batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(
-            model, variables, batch, pos_init, key, diffusion, sampler_config
+            model, variables, batch, pos_init, key, diffusion,
+            sampler_config, forward_fn=forward_fn,
         )
 
     return jax.jit(run, in_shardings=(repl, batch_sh, pos_sh, repl))

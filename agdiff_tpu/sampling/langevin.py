@@ -202,16 +202,27 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        config: SamplerConfig, use_pallas=None,
                        compute_dtype=None, engine: Optional[str] = None,
                        pair_capacity: Optional[int] = None,
-                       shared_pairs: bool = False, tabulate: int = 0):
+                       shared_pairs: bool = False, tabulate: int = 0,
+                       mesh=None):
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
       * 'tight' — models/tight_forward.py (per-graph packed pairs sized by
         `pair_capacity`, MXU one-hot aggregation — the fastest engine);
+      * 'approx' / 'tight-approx' — the xla / tight engine with the hot
+        transcendentals replaced by the sub-bf16-noise polynomial
+        approximations in ops/approx.py (quality-gated, not bit-exact);
       * 'mono' — ops/pallas/monolithic.py, the whole per-step forward as ONE
         Pallas kernel (edge tensors never leave VMEM; measured SLOWER than
         XLA fusion at bf16 — kept as the kernel-design testbed).
     Parameters are baked into the closure (weights fold once on host).
+
+    mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
+    the molecule batch (and pos_init) is sharded over the mesh axes and
+    each chip runs the ladder on its shard; the engines are pure per-graph
+    math, so SPMD partitioning needs no communication. This is how the
+    tight engine's Drugs-size win composes with multi-chip generation
+    (module-path analog: parallel.data_parallel.make_parallel_sampler).
 
     HAZARD: `pair_capacity` must be >= n_real*(n_real-1)//2 for every graph
     that will run through the sampler — packed pair lists are silently
@@ -227,6 +238,9 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)
+    approx = engine in ("approx", "tight-approx")
+    if approx:
+        engine = "tight" if engine == "tight-approx" else None
     if engine == "tight":
         from agdiff_tpu.models.tight_forward import build_tight_forward
 
@@ -234,7 +248,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                          compute_dtype=compute_dtype,
                                          capacity=pair_capacity,
                                          shared=shared_pairs,
-                                         tabulate=tabulate)
+                                         tabulate=tabulate,
+                                         approx=approx)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 
@@ -245,13 +260,26 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
             use_pallas = (engine == "pallas") and pallas_available()
         forward_fn = build_fast_forward(model_config, variables,
                                         use_pallas=use_pallas,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        approx=approx)
 
-    @jax.jit
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(
             None, None, batch, pos_init, key, diffusion, config,
             forward_fn=forward_fn,
         )
 
-    return run
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from agdiff_tpu.parallel.data_parallel import _batch_spec
+
+    batch_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), _batch_spec(mesh)
+    )
+    axes = tuple(mesh.axis_names)
+    pos_sh = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(run, in_shardings=(batch_sh, pos_sh, repl))

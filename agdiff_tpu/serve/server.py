@@ -1,0 +1,226 @@
+"""Persistent generation service.
+
+The reference's generation entry point is a one-shot script (reference:
+scripts/test.py:124-195) — every invocation pays model load plus the
+Langevin-ladder XLA compile (minutes cold, ~1 min with a warm disk cache;
+the ladder itself is seconds). This service loads the checkpoint ONCE,
+AOT-pre-warms the bucket ladder programs (GenerationRunner.warm), and then
+answers generation requests over a TCP socket, reusing the compiled-sampler
+cache across requests — request latency drops to the ladder wall-clock.
+
+Protocol: newline-delimited JSON, one request per connection:
+
+  {"cmd": "ping"}
+  {"cmd": "warm", "nodes": [24, 48], "num_samples": 64, "retry": false}
+  {"cmd": "generate", "test_set": "mols.npz", "out_dir": "out",
+   "num_confs": "2x", "seed": 2021, "start_idx": 0, "end_idx": null,
+   "resume": true}
+  {"cmd": "generate", "synthetic": 8, "synthetic_seed": 7,
+   "synthetic_chem": "rich", "out_dir": "out"}
+  {"cmd": "shutdown"}
+
+Replies are one JSON line, always with an "ok" field. The server is
+single-threaded by design: one chip serializes ladder programs anyway, and
+share-nothing requests keep the failure story trivial (a failed request
+reports its traceback string; the server keeps serving).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import time
+import traceback
+from typing import Optional
+
+import numpy as np
+
+from agdiff_tpu.chem.constants import BondType
+from agdiff_tpu.chem.mol import Molecule
+
+
+def probe_molecule(num_nodes: int) -> Molecule:
+    """A linear carbon chain of `num_nodes` atoms: the cheapest molecule
+    that exercises the (bucket, batch) shapes and the tight engine's pair
+    capacity for a given size class. Compiled programs depend only on
+    shapes, so warming with a probe covers every real molecule that maps
+    to the same bucket."""
+    n = max(int(num_nodes), 2)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = np.arange(n) * 1.52
+    pos -= pos.mean(0, keepdims=True)
+    src = np.repeat(np.arange(n - 1), 2)
+    dst = src.copy()
+    src[0::2] = np.arange(n - 1)
+    dst[0::2] = np.arange(1, n)
+    src[1::2] = np.arange(1, n)
+    dst[1::2] = np.arange(n - 1)
+    return Molecule(
+        atom_type=np.full((n,), 6, np.int32),
+        pos=pos,
+        bond_index=np.stack([src, dst]).astype(np.int32),
+        bond_type=np.full((2 * (n - 1),), int(BondType.SINGLE), np.int32),
+        smiles=f"PROBE-{n}",
+    )
+
+
+class GenerationService:
+    """Request handler around a (pre-built) GenerationRunner."""
+
+    def __init__(self, runner, logger=None):
+        self.runner = runner
+        self.logger = logger
+        self.started = time.time()
+        self.requests = 0
+
+    # ---- request handlers ----
+
+    def handle(self, request: dict) -> dict:
+        cmd = request.get("cmd")
+        self.requests += 1
+        try:
+            if cmd == "ping":
+                return self._ping()
+            if cmd == "warm":
+                return self._warm(request)
+            if cmd == "generate":
+                return self._generate(request)
+            if cmd == "shutdown":
+                return {"ok": True, "shutdown": True}
+            return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+        except Exception:
+            return {"ok": False, "error": traceback.format_exc()}
+
+    def _ping(self) -> dict:
+        programs = sum(
+            max(1, len(h.compiled))
+            for h in self.runner._samplers.values()
+        )
+        return {
+            "ok": True,
+            "uptime_s": round(time.time() - self.started, 3),
+            "requests": self.requests,
+            "cached_programs": programs,
+            "buckets": list(self.runner.buckets),
+        }
+
+    def _warm(self, request: dict) -> dict:
+        t0 = time.time()
+        compiled = []
+        for n in request.get("nodes", []):
+            compiled += self.runner.warm(
+                probe_molecule(int(n)),
+                num_samples=request.get("num_samples"),
+                retry=bool(request.get("retry", False)),
+            )
+        return {
+            "ok": True,
+            "compiled": [list(c) for c in compiled],
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    def _load_dataset(self, request: dict):
+        if request.get("test_set"):
+            from agdiff_tpu.data.dataset import PackedConformationDataset
+
+            return PackedConformationDataset(request["test_set"]).molecules
+        if request.get("synthetic"):
+            from agdiff_tpu.data.synthetic import heavy_range, synthetic_dataset
+
+            kw = {}
+            if request.get("synthetic_heavy") is not None:
+                lo, hi = heavy_range(int(request["synthetic_heavy"]))
+                kw = dict(min_heavy=lo, max_heavy=hi)
+            return synthetic_dataset(
+                int(request["synthetic"]),
+                seed=int(request.get("synthetic_seed", 7)),
+                num_conformers=int(request.get("num_conformers", 3)),
+                chem=request.get("synthetic_chem", "tree"),
+                **kw,
+            )
+        raise ValueError("generate needs 'test_set' or 'synthetic'")
+
+    def _generate(self, request: dict) -> dict:
+        out_dir = request.get("out_dir")
+        if not out_dir:
+            raise ValueError("generate needs 'out_dir'")
+        dataset = self._load_dataset(request)
+        t0 = time.time()
+        results = self.runner.run(
+            dataset,
+            out_dir,
+            seed=int(request.get("seed", 2021)),
+            num_confs=request.get("num_confs", "2x"),
+            start_idx=int(request.get("start_idx", 0)),
+            end_idx=request.get("end_idx"),
+            resume=bool(request.get("resume", True)),
+        )
+        dt = time.time() - t0
+        n_samples = sum(
+            int(np.asarray(m.meta["pos_gen"]).shape[0])
+            for m in results if "pos_gen" in m.meta
+        )
+        return {
+            "ok": True,
+            "molecules": len(results),
+            "samples": n_samples,
+            "seconds": round(dt, 3),
+            "out": f"{out_dir}/samples_all.npz",
+        }
+
+    # ---- transport ----
+
+    def serve(self, host: str = "127.0.0.1", port: int = 0,
+              ready_callback=None) -> None:
+        """Blocking accept loop; one JSON-line request per connection.
+        ready_callback(bound_port) fires once listening (port=0 binds an
+        ephemeral port — the callback is how tests learn it)."""
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(8)
+        bound = srv.getsockname()[1]
+        if self.logger:
+            self.logger.info("serving on %s:%d", host, bound)
+        if ready_callback:
+            ready_callback(bound)
+        try:
+            while True:
+                conn, _ = srv.accept()
+                with conn:
+                    reply, stop = self._handle_conn(conn)
+                    if stop:
+                        break
+        finally:
+            srv.close()
+
+    def _handle_conn(self, conn) -> tuple:
+        data = b""
+        conn.settimeout(60.0)
+        while not data.endswith(b"\n"):
+            chunk = conn.recv(1 << 16)
+            if not chunk:
+                break
+            data += chunk
+        try:
+            request = json.loads(data.decode() or "{}")
+        except json.JSONDecodeError as e:
+            reply = {"ok": False, "error": f"bad json: {e}"}
+        else:
+            reply = self.handle(request)
+        conn.sendall((json.dumps(reply) + "\n").encode())
+        return reply, bool(reply.get("shutdown"))
+
+
+def submit(request: dict, host: str = "127.0.0.1", port: int = 7521,
+           timeout: Optional[float] = None) -> dict:
+    """Client: send one request, return the parsed reply."""
+    with socket.create_connection((host, port), timeout=timeout) as conn:
+        conn.sendall((json.dumps(request) + "\n").encode())
+        data = b""
+        while not data.endswith(b"\n"):
+            chunk = conn.recv(1 << 16)
+            if not chunk:
+                break
+            data += chunk
+    return json.loads(data.decode())

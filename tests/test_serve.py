@@ -1,0 +1,116 @@
+"""Persistent generation service: protocol, warm-up, cache reuse."""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from agdiff_tpu.data.bucketing import pad_molecules
+from agdiff_tpu.data.synthetic import synthetic_dataset
+from agdiff_tpu.eval.generate import GenerationRunner
+from agdiff_tpu.models.dualenc import get_model
+from agdiff_tpu.models.schedules import make_diffusion
+from agdiff_tpu.sampling import SamplerConfig
+from agdiff_tpu.serve.server import GenerationService, probe_molecule, submit
+
+
+def test_probe_molecule_shapes():
+    m = probe_molecule(24)
+    assert len(m.atom_type) == 24
+    assert m.bond_index.shape == (2, 2 * 23)
+    d = np.linalg.norm(m.pos[m.bond_index[0]] - m.pos[m.bond_index[1]],
+                       axis=-1)
+    np.testing.assert_allclose(d, 1.52, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def service():
+    from agdiff_tpu import Config, ModelConfig
+
+    cfg = Config(model=ModelConfig(hidden_dim=32, num_convs=2,
+                                   num_convs_local=2,
+                                   num_diffusion_timesteps=100))
+    mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3)
+    batch = pad_molecules(mols, 16, batch_size=1)
+    model = get_model(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    runner = GenerationRunner(
+        model, variables, make_diffusion(cfg.model),
+        SamplerConfig(n_steps=6), buckets=(16,), chunk_size=8,
+        use_fast=True, model_config=cfg.model,
+    )
+    svc = GenerationService(runner)
+    port_box = []
+    ready = threading.Event()
+
+    def _ready(p):
+        port_box.append(p)
+        ready.set()
+
+    t = threading.Thread(
+        target=svc.serve, kwargs=dict(port=0, ready_callback=_ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    yield svc, port_box[0]
+    try:
+        submit({"cmd": "shutdown"}, port=port_box[0], timeout=5)
+    except OSError:
+        pass
+    t.join(timeout=10)
+
+
+def test_service_lifecycle(service, tmp_path):
+    svc, port = service
+
+    r = submit({"cmd": "ping"}, port=port, timeout=10)
+    assert r["ok"] and r["requests"] >= 1
+
+    r = submit({"cmd": "warm", "nodes": [12], "num_samples": 8,
+                "retry": True}, port=port, timeout=300)
+    assert r["ok"]
+    assert [16, 8, False] in r["compiled"] and [16, 8, True] in r["compiled"]
+
+    r = submit({"cmd": "ping"}, port=port, timeout=10)
+    programs_after_warm = r["cached_programs"]
+    assert programs_after_warm >= 2
+
+    gen_req = {
+        "cmd": "generate", "synthetic": 2, "synthetic_seed": 7,
+        "num_conformers": 2, "num_confs": "2x", "seed": 1,
+        "out_dir": str(tmp_path / "g1"), "resume": False,
+    }
+    r1 = submit(gen_req, port=port, timeout=600)
+    assert r1["ok"] and r1["molecules"] == 2 and r1["samples"] == 8
+    programs_after_gen = submit({"cmd": "ping"}, port=port,
+                                timeout=10)["cached_programs"]
+
+    # second request: compiled-program cache is reused, no new programs
+    r2 = submit({**gen_req, "out_dir": str(tmp_path / "g2")},
+                port=port, timeout=600)
+    assert r2["ok"]
+    r = submit({"cmd": "ping"}, port=port, timeout=10)
+    assert r["cached_programs"] == programs_after_gen
+
+    # determinism across requests (same seed -> same samples)
+    from agdiff_tpu.eval.generate import load_samples
+
+    a = load_samples(str(tmp_path / "g1" / "samples_all.npz"))
+    b = load_samples(str(tmp_path / "g2" / "samples_all.npz"))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x.meta["pos_gen"], y.meta["pos_gen"],
+                                   atol=1e-5)
+
+
+def test_service_error_paths(service):
+    _, port = service
+    r = submit({"cmd": "nope"}, port=port, timeout=10)
+    assert not r["ok"] and "unknown cmd" in r["error"]
+    r = submit({"cmd": "generate", "out_dir": "/tmp/x"}, port=port,
+               timeout=10)
+    assert not r["ok"] and "test_set" in r["error"]
+    # a failed request must not kill the server
+    assert submit({"cmd": "ping"}, port=port, timeout=10)["ok"]

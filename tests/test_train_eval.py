@@ -444,6 +444,45 @@ class TestParallelSampler:
         )
         assert not np.asarray(r2.nan_flags).any()
 
+    def test_dp_fast_engines_match_single(self, smoke_config):
+        """Fast engines (xla / tight shared / tight per-graph) under the
+        mesh == single-device: the multi-chip Drugs win composes with the
+        tight engine (round-3; VERDICT r2 item 2)."""
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.models.tight_forward import pair_capacity_for
+        from agdiff_tpu.parallel import make_mesh
+        from agdiff_tpu.parallel.data_parallel import shard_graph_batch
+        from agdiff_tpu.sampling import SamplerConfig
+        from agdiff_tpu.sampling.langevin import build_fast_sampler
+
+        mols = synthetic_dataset(1, seed=8, min_heavy=4, max_heavy=4)
+        batch = pad_molecules(mols * 8, 16, batch_size=8)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=8, w_global=0.3)
+        pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+        cap = pair_capacity_for(mols[0].num_nodes)
+        mesh = make_mesh(8)
+        sharded = shard_graph_batch(batch, mesh)
+
+        for engine, shared in [(None, False), ("tight", True),
+                               ("tight", False)]:
+            kw = dict(use_pallas=False, engine=engine,
+                      pair_capacity=cap if engine else None,
+                      shared_pairs=shared)
+            single = build_fast_sampler(
+                smoke_config.model, variables, diffusion, scfg, **kw)
+            r1 = single(batch, pos_init, jax.random.PRNGKey(2))
+            par = build_fast_sampler(
+                smoke_config.model, variables, diffusion, scfg,
+                mesh=mesh, **kw)
+            r2 = par(sharded, pos_init, jax.random.PRNGKey(2))
+            np.testing.assert_allclose(
+                np.asarray(r1.pos), np.asarray(r2.pos), atol=1e-5)
+            assert not np.asarray(r2.nan_flags).any()
+
 
 class TestFastRunner:
     def test_runner_use_fast_on_cpu(self, smoke_config):
@@ -496,6 +535,35 @@ class TestFastRunner:
         b = tight.generate_molecule(mols[0], 4, key)
         np.testing.assert_allclose(a, b, atol=5e-4)
 
+    def test_runner_fast_engines_under_mesh(self, smoke_config):
+        """use_fast (and engine='tight') with a mesh == without: the runner
+        no longer forfeits the fast engines on multi-chip generation."""
+        from agdiff_tpu.eval.generate import GenerationRunner
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.parallel import make_mesh
+        from agdiff_tpu.sampling import SamplerConfig
+
+        mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        batch = pad_molecules(mols, 16, batch_size=1)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=6)
+        mesh = make_mesh(8)
+        key = jax.random.PRNGKey(3)
+        for engine in (None, "tight"):
+            common = dict(buckets=(16,), chunk_size=8, use_fast=True,
+                          engine=engine, model_config=smoke_config.model)
+            fast = GenerationRunner(model, variables, diffusion, scfg,
+                                    **common)
+            dp = GenerationRunner(model, variables, diffusion, scfg,
+                                  mesh=mesh, **common)
+            a = fast.generate_molecule(mols[0], 8, key)
+            b = dp.generate_molecule(mols[0], 8, key)
+            np.testing.assert_allclose(a, b, atol=5e-4)
+
 
 class TestPackedGeneration:
     def test_packed_runner_fills_batches(self, smoke_config, tmp_path):
@@ -522,6 +590,43 @@ class TestPackedGeneration:
             assert np.isfinite(gen).all()
             # samples within a molecule differ (independent init noise)
             assert np.abs(gen[0] - gen[1]).max() > 1e-4
+
+    def test_packed_runner_tight_shared_groups(self, smoke_config, tmp_path):
+        """engine='tight' in the packed runner: slots group by atom count,
+        every chunk runs the shared pair-list layout, results match the
+        module-path packed runner exactly (same slot keys + chunk keys)."""
+        from agdiff_tpu.eval.generate import PackedGenerationRunner
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig
+
+        base = synthetic_dataset(2, seed=12, min_heavy=3, max_heavy=3,
+                                 num_conformers=2)
+        # two distinct molecules, but identical atom count -> one group
+        mols = [m for m in base if m.num_nodes == base[0].num_nodes][:2]
+        if len(mols) < 2:
+            mols = [base[0], base[0]]
+        batch = pad_molecules(mols, 16, batch_size=2)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        common = dict(buckets=(16,), chunk_size=4)
+        slow = PackedGenerationRunner(
+            model, variables, make_diffusion(smoke_config.model),
+            SamplerConfig(n_steps=6), **common)
+        tight = PackedGenerationRunner(
+            model, variables, make_diffusion(smoke_config.model),
+            SamplerConfig(n_steps=6), use_fast=True, engine="tight",
+            model_config=smoke_config.model, **common)
+        a = slow.run(mols, str(tmp_path / "a"), num_confs="2x",
+                     resume=False)
+        b = tight.run(mols, str(tmp_path / "b"), num_confs="2x",
+                      resume=False)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                x.meta["pos_gen"], y.meta["pos_gen"], atol=5e-4)
+        # the tight sampler was built with molecule-sized shared capacity
+        keys = [k for k in tight._samplers if k[3] == "tight"]
+        assert keys and all(k[2] is not None for k in keys)
 
 
 class TestMultiSliceMesh:

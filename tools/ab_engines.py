@@ -20,6 +20,8 @@ def main():
                     help="comma list of: module, fast-xla, fast-tight "
                          "(shared pair list — repeated-molecule batches), "
                          "fast-tight-pg (per-graph pair lists), "
+                         "fast-approx / fast-tight-approx (polynomial "
+                         "transcendentals, ops/approx.py), "
                          "fast-pallas, fast-mono")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
@@ -72,14 +74,17 @@ def main():
             engine = {"fast-xla": None, "fast-pallas": "pallas",
                       "fast-mono": "mono", "fast-tight": "tight",
                       "fast-tight-pg": "tight",
+                      "fast-approx": "approx",
+                      "fast-tight-approx": "tight-approx",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
-                   if engine == "tight" else None)
+                   if engine in ("tight", "tight-approx") else None)
             fn = build_fast_sampler(
                 config, variables, diffusion, scfg,
                 use_pallas=(engine == "pallas"),
                 engine=engine, pair_capacity=cap,
-                shared_pairs=name in ("fast-tight", "fast-tight-tab"),
+                shared_pairs=name in ("fast-tight", "fast-tight-tab",
+                                      "fast-tight-approx"),
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
         out = samplers[name](jax.random.PRNGKey(2))
