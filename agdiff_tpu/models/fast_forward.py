@@ -174,7 +174,7 @@ def node_input(conv, h):
 def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
-    approx: bool = False,
+    approx: bool = False, filter_dtype=None,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -193,7 +193,13 @@ def build_fast_forward(
     forward is VPU-transcendental-bound (CLAUDE.md cost model), and every
     approximation is below bf16 quantization noise. NOT value-identical to
     the module path; acceptance is protocol quality (tools/ab_engines.py
-    fast-approx, README engine matrix)."""
+    fast-approx, README engine matrix).
+
+    filter_dtype=jnp.bfloat16 runs the CFConv filter-MLP matmuls — the
+    model's largest, historically kept f32 even in the bf16 engine — at
+    bf16 MXU rate with f32 accumulation (preferred_element_type); the
+    shifted-softplus still evaluates on the f32 accumulator. Quality-gated
+    like approx (fast-bf16f in tools/ab_engines.py)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -230,6 +236,12 @@ def build_fast_forward(
     folded = fold_eval_params(config, variables)
     ee, ee_local = folded["ee"], folded["ee_local"]
     blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
+    fdt = filter_dtype or jnp.float32
+    if filter_dtype is not None:
+        for _blk in blocks:
+            for _conv in _blk["convs"]:
+                _conv["fa"] = (_conv["fa"][0].astype(fdt), _conv["fa"][1])
+                _conv["fb"] = (_conv["fb"][0].astype(fdt), _conv["fb"][1])
     gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
     grad_global, grad_local = folded["grad_global"], folded["grad_local"]
 
@@ -237,9 +249,12 @@ def build_fast_forward(
         lw = dweight(conv, el)
         w_edge = lw * env_mask  # (B, N, N)
         x = node_input(conv, h)
-        w = ssp(edge_attr.astype(jnp.float32) @ conv["fa"][0]
-                 + conv["fa"][1], conv["beta"])
-        w = (w @ conv["fb"][0] + conv["fb"][1]) * w_edge[..., None]
+        w = ssp(jnp.matmul(edge_attr.astype(fdt), conv["fa"][0],
+                           preferred_element_type=jnp.float32)
+                + conv["fa"][1], conv["beta"])
+        w = (jnp.matmul(w.astype(fdt), conv["fb"][0],
+                        preferred_element_type=jnp.float32)
+             + conv["fb"][1]) * w_edge[..., None]
         return jnp.einsum("bijf,bjf->bif", w, x)
 
     def cf_pathway_packed(conv, h, e_packed, pair_id, el, env_mask):
@@ -248,9 +263,12 @@ def build_fast_forward(
         lw = dweight(conv, el)
         w_edge = lw * env_mask
         x = node_input(conv, h)
-        wp = ssp(e_packed.astype(jnp.float32) @ conv["fa"][0]
-                  + conv["fa"][1], conv["beta"])
-        wp = wp @ conv["fb"][0] + conv["fb"][1]        # (B, P, F)
+        wp = ssp(jnp.matmul(e_packed.astype(fdt), conv["fa"][0],
+                            preferred_element_type=jnp.float32)
+                 + conv["fa"][1], conv["beta"])
+        wp = jnp.matmul(wp.astype(fdt), conv["fb"][0],
+                        preferred_element_type=jnp.float32) \
+            + conv["fb"][1]                             # (B, P, F)
         w = wp[:, pair_id] * w_edge[..., None]          # (B, N, N, F)
         return jnp.einsum("bijf,bjf->bif", w, x)
 

@@ -171,6 +171,7 @@ def build_tight_forward(
     config: ModelConfig, variables: Dict[str, Any],
     compute_dtype=jnp.float32, capacity: Optional[int] = None,
     shared: bool = False, tabulate: int = 0, approx: bool = False,
+    filter_dtype=None,
 ):
     """Returns forward(batch, ..., pairs=None) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). `capacity` is the static
@@ -181,7 +182,9 @@ def build_tight_forward(
     one repeated molecule (the reference generation pattern). approx=True
     swaps softplus/sigmoid/gelu for the sub-bf16-noise polynomial
     approximations in ops/approx.py (see fast_forward.build_fast_forward;
-    NOT value-identical, quality-gated)."""
+    NOT value-identical, quality-gated). filter_dtype=jnp.bfloat16 runs
+    the filter-MLP matmuls at bf16 MXU rate with f32 accumulation (see
+    fast_forward.build_fast_forward)."""
     cfg = config
     if cfg.edge_encoder != "mlp":
         raise NotImplementedError(
@@ -214,6 +217,12 @@ def build_tight_forward(
     f32 = jnp.float32
 
     folded = fold_eval_params(config, variables)
+    fdt = filter_dtype or f32
+    if filter_dtype is not None:
+        for _blk in folded["blocks"]:
+            for _conv in _blk["convs"]:
+                _conv["fa"] = (_conv["fa"][0].astype(fdt), _conv["fa"][1])
+                _conv["fb"] = (_conv["fb"][0].astype(fdt), _conv["fb"][1])
     ee, ee_local = folded["ee"], folded["ee_local"]
     blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
     gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
@@ -250,9 +259,11 @@ def build_tight_forward(
 
     def cf_pathway(conv, h_cd, e_p, wedge, pk):
         """One CFConv pathway over packed pairs; returns (B, N, F') f32."""
-        wflt = ssp(e_p.astype(f32) @ conv["fa"][0] + conv["fa"][1],
-                    conv["beta"])
-        wp = ((wflt @ conv["fb"][0] + conv["fb"][1])
+        wflt = ssp(jnp.matmul(e_p.astype(fdt), conv["fa"][0],
+                              preferred_element_type=f32)
+                   + conv["fa"][1], conv["beta"])
+        wp = ((jnp.matmul(wflt.astype(fdt), conv["fb"][0],
+                          preferred_element_type=f32) + conv["fb"][1])
               * wedge[..., None]).astype(cd)                 # (B, E, F')
         return cf_aggregate(conv, h_cd, wp, pk)
 

@@ -203,7 +203,7 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        compute_dtype=None, engine: Optional[str] = None,
                        pair_capacity: Optional[int] = None,
                        shared_pairs: bool = False, tabulate: int = 0,
-                       mesh=None):
+                       mesh=None, filter_dtype=None):
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
@@ -249,7 +249,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                          capacity=pair_capacity,
                                          shared=shared_pairs,
                                          tabulate=tabulate,
-                                         approx=approx)
+                                         approx=approx,
+                                         filter_dtype=filter_dtype)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 
@@ -261,7 +262,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         forward_fn = build_fast_forward(model_config, variables,
                                         use_pallas=use_pallas,
                                         compute_dtype=compute_dtype,
-                                        approx=approx)
+                                        approx=approx,
+                                        filter_dtype=filter_dtype)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -85,6 +85,8 @@ class GenerationService:
                 return self._warm(request)
             if cmd == "generate":
                 return self._generate(request)
+            if cmd == "evaluate":
+                return self._evaluate(request)
             if cmd == "shutdown":
                 return {"ok": True, "shutdown": True}
             return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
@@ -166,6 +168,43 @@ class GenerationService:
             "samples": n_samples,
             "seconds": round(dt, 3),
             "out": f"{out_dir}/samples_all.npz",
+        }
+
+    def _evaluate(self, request: dict) -> dict:
+        """COV/MAT over a generated samples npz (the generate reply's
+        "out" path feeds straight in): {"cmd": "evaluate",
+        "samples": ".../samples_all.npz", "ratio": 2}."""
+        from agdiff_tpu.eval.covmat import CovMatEvaluator
+        from agdiff_tpu.eval.generate import load_samples
+
+        path = request.get("samples")
+        if not path:
+            raise ValueError("evaluate needs 'samples'")
+        data_list = load_samples(path)
+        evaluator = CovMatEvaluator(
+            num_workers=int(request.get("num_workers", 8)),
+            ratio=int(request.get("ratio", 2)),
+        )
+        t0 = time.time()
+        results = evaluator(data_list,
+                            start_idx=int(request.get("start_idx", 0)))
+        # MAT-* are per-molecule scalars; COV-* reported at the reference's
+        # headline thresholds (QM9 0.5 A / Drugs 1.25 A index by nearest)
+        stats = {
+            "MAT-R_mean": float(np.mean(results.MatchingR)),
+            "MAT-P_mean": float(np.mean(results.MatchingP)),
+        }
+        for thr in (0.5, 1.25):
+            k = int(np.argmin(np.abs(results.thresholds - thr)))
+            stats[f"COV-R_mean@{thr}"] = float(
+                np.mean(results.CoverageR[:, k]))
+            stats[f"COV-P_mean@{thr}"] = float(
+                np.mean(results.CoverageP[:, k]))
+        return {
+            "ok": True,
+            "molecules": len(data_list),
+            "seconds": round(time.time() - t0, 3),
+            **{k: round(v, 4) for k, v in stats.items()},
         }
 
     # ---- transport ----

@@ -104,6 +104,14 @@ def test_service_lifecycle(service, tmp_path):
         np.testing.assert_allclose(x.meta["pos_gen"], y.meta["pos_gen"],
                                    atol=1e-5)
 
+    # evaluate the generated samples through the service
+    r = submit({"cmd": "evaluate",
+                "samples": str(tmp_path / "g1" / "samples_all.npz"),
+                "num_workers": 0},
+               port=port, timeout=300)
+    assert r["ok"] and r["molecules"] == 2
+    assert np.isfinite(r["MAT-R_mean"]) and r["MAT-R_mean"] > 0
+
 
 def test_service_error_paths(service):
     _, port = service

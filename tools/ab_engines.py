@@ -76,15 +76,20 @@ def main():
                       "fast-tight-pg": "tight",
                       "fast-approx": "approx",
                       "fast-tight-approx": "tight-approx",
+                      "fast-bf16f": None, "fast-tight-bf16f": "tight",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine in ("tight", "tight-approx") else None)
+            import jax.numpy as jnp
+            fdt = (jnp.bfloat16 if name.endswith("bf16f") else None)
             fn = build_fast_sampler(
                 config, variables, diffusion, scfg,
                 use_pallas=(engine == "pallas"),
                 engine=engine, pair_capacity=cap,
                 shared_pairs=name in ("fast-tight", "fast-tight-tab",
-                                      "fast-tight-approx"),
+                                      "fast-tight-approx",
+                                      "fast-tight-bf16f"),
+                filter_dtype=fdt,
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
         out = samplers[name](jax.random.PRNGKey(2))
