@@ -278,14 +278,25 @@ def random_molecule(
 
 
 def _relax(pos, constraints, exclude, iters, step=0.04, repulse=1.5,
-           polish=None):
+           polish=None, use_native=True):
     """SHAKE-style geometry relaxation: soft repulsion between non-bonded
     close atoms plus symmetric projection of every distance constraint
     (both endpoints move), which preserves ring closure — the tree
     generators' parent-only restoration cannot. `polish` (default: all
     constraints) is the subset projected in the final repulsion-free sweeps
     — pass the bond list so exact bond lengths win over the (approximate)
-    ring-shape chords."""
+    ring-shape chords.
+
+    Dispatches to the native kernel (native/relax.cpp, same f64 math,
+    ~100x) when the toolchain is available; this numpy body is the
+    fallback and the parity reference (tests/test_native_relax.py)."""
+    if use_native:
+        from agdiff_tpu.data import native_relax
+
+        out = native_relax.relax(pos, constraints, exclude, iters,
+                                 step, repulse, polish)
+        if out is not None:
+            return out
     n = pos.shape[0]
     eye = np.eye(n, dtype=bool)
     for _ in range(iters):
