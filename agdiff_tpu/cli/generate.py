@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--clip", type=float, default=1000.0)
     ap.add_argument("--clip_local", type=float, default=None)
     ap.add_argument("--clip_pos", type=float, default=None)
+    ap.add_argument("--denoise_tail", type=int, default=0,
+                    help="extra noise-free steps at the final noise level "
+                         "(gradient-only polish; 0 = reference semantics)")
     # accepted for CLI parity with the reference (scripts/test.py:63-74) but
     # ignored, exactly as the reference ignores them (dualenc.py:437-438):
     # the sampler is pure annealed Langevin regardless
@@ -130,6 +133,7 @@ def main(argv=None):
         step_lr=args.step_lr, w_global=args.w_global,
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
+        denoise_tail=args.denoise_tail,
     )
     mesh = None
     if args.num_devices:

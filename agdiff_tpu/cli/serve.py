@@ -57,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--clip", type=float, default=1000.0)
     ap.add_argument("--clip_local", type=float, default=None)
     ap.add_argument("--clip_pos", type=float, default=None)
+    ap.add_argument("--denoise_tail", type=int, default=0,
+                    help="extra noise-free steps at the final noise level "
+                         "(gradient-only polish; 0 = reference semantics)")
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--engine", default=None,
@@ -100,6 +103,7 @@ def main(argv=None):
         step_lr=args.step_lr, w_global=args.w_global,
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
+        denoise_tail=args.denoise_tail,
     )
     mesh = None
     if args.num_devices:

@@ -54,6 +54,9 @@ class SamplerConfig:
     extend_order: bool = False   # test-time adjacency is pre-extended
     extend_radius: bool = True
     traj_stride: int = 0         # 0 = no trajectory; k = keep every k-th pos
+    denoise_tail: int = 0        # extra NOISE-FREE steps at the final noise
+    #   level after the ladder (gradient-only polish toward the mode) — an
+    #   extension the reference does not have; quality-gated like 'strided' 
 
     def with_clip_local(self, value: float) -> "SamplerConfig":
         return dataclasses.replace(self, clip_local=value)
@@ -91,7 +94,8 @@ def langevin_dynamics_sample(
     prepare = getattr(forward_fn, "prepare", None)
     fwd_kwargs = {} if prepare is None else {"pairs": prepare(batch)}
 
-    def step(carry, i):
+    def make_step(noise_on: bool):
+      def step(carry, i):
         pos, key, nan_flags = carry
         key, noise_key = jax.random.split(key)
 
@@ -138,12 +142,11 @@ def langevin_dynamics_sample(
         eps_pos = node_eq_local + node_eq_global * cfg.w_global
 
         step_size = cfg.step_lr * (sigma_i / 0.01) ** 2
-        noise = jax.random.normal(noise_key, pos.shape, pos.dtype) * node_mask3
-        pos_next = (
-            pos
-            + step_size * eps_pos / sigma_i
-            + noise * jnp.sqrt(step_size * 2.0)
-        )
+        pos_next = pos + step_size * eps_pos / sigma_i
+        if noise_on:
+            noise = jax.random.normal(
+                noise_key, pos.shape, pos.dtype) * node_mask3
+            pos_next = pos_next + noise * jnp.sqrt(step_size * 2.0)
         # per-graph NaN guard (dualenc.py:539-541), flag instead of raise
         nan_now = jnp.any(~jnp.isfinite(pos_next), axis=(1, 2))
         nan_flags = nan_flags | nan_now
@@ -153,6 +156,10 @@ def langevin_dynamics_sample(
         if cfg.clip_pos is not None:
             pos_next = jnp.clip(pos_next, -cfg.clip_pos, cfg.clip_pos)
         return (pos_next, key, nan_flags), pos_next
+
+      return step
+
+    step = make_step(True)
 
     if cfg.ladder == "strided":
         indices = jnp.round(
@@ -182,6 +189,14 @@ def langevin_dynamics_sample(
             step, init, indices, unroll=cfg.unroll
         )
         traj = None
+
+    if cfg.denoise_tail:
+        # gradient-only polish at the final noise level: same update with
+        # the stochastic term off, pulling samples toward the local mode
+        tail = jnp.full((cfg.denoise_tail,), indices[-1], jnp.int32)
+        (pos, key, nan_flags), _ = jax.lax.scan(
+            make_step(False), (pos, key, nan_flags), tail
+        )
 
     return SampleResult(pos=pos, nan_flags=nan_flags, traj=traj)
 

@@ -194,6 +194,31 @@ class TestSampler:
         assert res.traj is not None
         assert res.traj.shape[0] == 4  # 20 // 5
 
+    def test_sampler_denoise_tail(self, smoke_config):
+        """denoise_tail: extra noise-free steps move positions (gradient
+        polish) but keep them finite and centered; tail=0 is unchanged
+        reference semantics."""
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.sampling import SamplerConfig, build_sampler
+
+        mol = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3)[0]
+        batch = repeat_molecule(mol, 2, max_nodes=16)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        pos_init = jax.random.normal(jax.random.PRNGKey(3), batch.pos.shape)
+        base = build_sampler(model, diffusion, SamplerConfig(n_steps=8))(
+            variables, batch, pos_init, jax.random.PRNGKey(4))
+        tail = build_sampler(model, diffusion,
+                             SamplerConfig(n_steps=8, denoise_tail=6))(
+            variables, batch, pos_init, jax.random.PRNGKey(4))
+        a, b = np.asarray(base.pos), np.asarray(tail.pos)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-7  # the tail did something
+        n = mol.num_nodes
+        np.testing.assert_allclose(b[:, :n].mean(axis=1), 0.0, atol=1e-4)
+
 
 class TestParallel:
     def test_dp_matches_single_device(self, smoke_config):
