@@ -90,7 +90,8 @@ class GenerationRunner:
         self.use_fast = use_fast
         self.model_config = model_config
         # None/'xla' | 'tight' (packed pair lists; this runner's chunks are
-        # one molecule repeated -> shared pair list) | 'mono' (Pallas kernel)
+        # one molecule repeated -> shared pair list) | 'mono' (Pallas
+        # kernel) | 'approx'/'tight-approx' (polynomial transcendentals)
         self.engine = engine
         self._samplers: Dict[tuple, object] = {}
         self.retry_config = sampler_config.with_clip_local(retry_clip_local)
