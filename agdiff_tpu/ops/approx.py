@@ -8,6 +8,9 @@ elementwise ops each — so a ~10-op polynomial at bf16-level accuracy is a
 direct 2-4x cut of the dominant cost. These are used by the `approx`
 serving engines (models/fast_forward.py, models/tight_forward.py);
 training and the parity paths always use the exact activations.
+Reference hot loop these feed: src/agdiff/models/epsnet/dualenc.py:478-545
+(ShiftedSoftplus filters schnet.py:71-80, sigmoid gates/distance weighting
+schnet.py:83-108, gelu edge encoder edge.py:52-78).
 
 Accuracy (max abs error over the full real line, validated by
 tests/test_approx.py):
