@@ -247,7 +247,13 @@ class GenerationService:
             reply = {"ok": False, "error": f"bad json: {e}"}
         else:
             reply = self.handle(request)
-        conn.sendall((json.dumps(reply) + "\n").encode())
+        try:
+            conn.sendall((json.dumps(reply) + "\n").encode())
+        except OSError:
+            # client hung up while we were generating; the work is saved
+            # on disk either way — keep serving
+            if self.logger:
+                self.logger.warning("client disconnected before reply")
         return reply, bool(reply.get("shutdown"))
 
 
