@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--warm_nodes", default="",
                     help="comma list of molecule sizes (total atoms) to "
                          "AOT-compile at startup, e.g. 24,48")
+    ap.add_argument("--warm_set", default=None,
+                    help="warm from a test set (npz): compiles one ladder "
+                         "program per (bucket, tight-capacity) class the "
+                         "set's molecules map to")
     ap.add_argument("--warm_samples", type=int, default=None,
                     help="samples-per-molecule the warm programs cover "
                          "(default: one full chunk)")
@@ -119,15 +123,34 @@ def main(argv=None):
         engine=(None if args.engine == "xla" else args.engine),
     )
     service = GenerationService(runner, logger=logger)
-    if args.warm_nodes:
+    if args.warm_nodes or args.warm_set:
         import time
 
         t0 = time.time()
         for n in args.warm_nodes.split(","):
+            if not n:
+                continue
             compiled = runner.warm(probe_molecule(int(n)),
                                    num_samples=args.warm_samples,
                                    retry=args.warm_retry)
             logger.info("warmed %s: %s", n, compiled)
+        if args.warm_set:
+            from agdiff_tpu.data.dataset import PackedConformationDataset
+
+            mols = PackedConformationDataset(args.warm_set).molecules
+            # one representative per (bucket, tight-capacity) class; the
+            # largest molecule of the class pins the capacity
+            classes = {}
+            for m in mols:
+                b = runner._bucket_for(m)
+                cap = runner._capacity_for(m, runner._engine_for(b))
+                prev = classes.get((b, cap))
+                if prev is None or m.num_nodes > prev.num_nodes:
+                    classes[(b, cap)] = m
+            for (b, cap), m in sorted(classes.items()):
+                compiled = runner.warm(m, num_samples=args.warm_samples,
+                                       retry=args.warm_retry)
+                logger.info("warmed bucket %d cap %s: %s", b, cap, compiled)
         logger.info("warm-up done in %.1fs", time.time() - t0)
     service.serve(host=args.host, port=args.port)
     return 0
