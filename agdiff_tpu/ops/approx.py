@@ -1,13 +1,15 @@
 """Polynomial/rational approximations of the hot transcendentals.
 
-The per-step generation forward is NOT matmul-bound: VPU transcendentals
-dominate (the learnable shifted-softplus filter MLPs alone are ~0.26 of the
-0.28 ms/block at B=128 — see CLAUDE.md round-2 cost model). TPU VPUs have
-no hardware transcendental unit — XLA expands exp/log/tanh into 20-40
-elementwise ops each — so a ~10-op polynomial at bf16-level accuracy is a
-direct 2-4x cut of the dominant cost. These are used by the `approx`
-serving engines (models/fast_forward.py, models/tight_forward.py);
-training and the parity paths always use the exact activations.
+Built to test the round-2 hypothesis that the per-step forward is
+VPU-transcendental-bound — and the test REFUTED it: the `approx` engines
+measure a wash (0.96x fast-xla, bf16 B=128 N=32), and the stronger
+identity-activation bound (tools/probe_act_bound.py — all activations
+replaced by x) moves ms/step by only 0.3%. XLA's own exp/log/tanh
+expansions hide behind the step's matmul/bandwidth structure. The module
+stays because the approximations are quality-safe (sub-bf16-noise, tested)
+and the engines (`approx`/`tight-approx` in models/fast_forward.py,
+models/tight_forward.py) document the negative result; training and the
+parity paths always use the exact activations.
 Reference hot loop these feed: src/agdiff/models/epsnet/dualenc.py:478-545
 (ShiftedSoftplus filters schnet.py:71-80, sigmoid gates/distance weighting
 schnet.py:83-108, gelu edge encoder edge.py:52-78).
