@@ -67,7 +67,8 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--engine", default=None,
-                    choices=["xla", "tight", "mono"])
+                    choices=["xla", "tight", "mono", "approx",
+                             "tight-approx"])
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--dtype", default=None,
@@ -136,17 +137,10 @@ def main(argv=None):
             logger.info("warmed %s: %s", n, compiled)
         if args.warm_set:
             from agdiff_tpu.data.dataset import PackedConformationDataset
+            from agdiff_tpu.serve.server import warm_classes
 
             mols = PackedConformationDataset(args.warm_set).molecules
-            # one representative per (bucket, tight-capacity) class; the
-            # largest molecule of the class pins the capacity
-            classes = {}
-            for m in mols:
-                b = runner._bucket_for(m)
-                cap = runner._capacity_for(m, runner._engine_for(b))
-                prev = classes.get((b, cap))
-                if prev is None or m.num_nodes > prev.num_nodes:
-                    classes[(b, cap)] = m
+            classes = warm_classes(runner, mols)
             for (b, cap), m in sorted(classes.items()):
                 compiled = runner.warm(m, num_samples=args.warm_samples,
                                        retry=args.warm_retry)

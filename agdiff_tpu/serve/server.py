@@ -64,6 +64,21 @@ def probe_molecule(num_nodes: int) -> Molecule:
     )
 
 
+def warm_classes(runner, molecules) -> dict:
+    """Group molecules into the (bucket, tight-capacity) classes whose
+    ladder programs `runner` would compile, keeping the largest molecule
+    of each class as the warm-up representative (it pins the capacity).
+    Used by `cli.serve --warm_set`."""
+    classes: dict = {}
+    for m in molecules:
+        b = runner._bucket_for(m)
+        cap = runner._capacity_for(m, runner._engine_for(b))
+        prev = classes.get((b, cap))
+        if prev is None or m.num_nodes > prev.num_nodes:
+            classes[(b, cap)] = m
+    return classes
+
+
 class GenerationService:
     """Request handler around a (pre-built) GenerationRunner."""
 

@@ -16,6 +16,33 @@ from agdiff_tpu.sampling import SamplerConfig
 from agdiff_tpu.serve.server import GenerationService, probe_molecule, submit
 
 
+def test_warm_classes_grouping():
+    """warm_classes groups by (bucket, tight-capacity) and keeps the
+    largest molecule per class."""
+    from agdiff_tpu.serve.server import warm_classes
+
+    class FakeRunner:
+        use_fast = True
+        engine = None
+        buckets = (32, 64)
+        _tight_shared = True
+        _bucket_for = GenerationRunner._bucket_for
+        _capacity_for = GenerationRunner._capacity_for
+        _engine_for = GenerationRunner._engine_for
+
+    mols = [probe_molecule(n) for n in (10, 20, 40, 48, 60)]
+    classes = warm_classes(FakeRunner(), mols)
+    # 10/20 -> bucket 32 (fast-xla, cap None); 40/48/60 -> bucket 64 tight,
+    # capacities 1024 (40: 780 pairs), 1280 (48: 1128), 1792 (60: 1770)
+    assert (32, None) in classes
+    assert classes[(32, None)].num_nodes == 20
+    tight_keys = [k for k in classes if k[0] == 64]
+    assert len(tight_keys) == 3
+    for (b, cap), m in classes.items():
+        if cap is not None:
+            assert cap >= m.num_nodes * (m.num_nodes - 1) // 2
+
+
 def test_probe_molecule_shapes():
     m = probe_molecule(24)
     assert len(m.atom_type) == 24
