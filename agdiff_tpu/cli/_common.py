@@ -16,6 +16,37 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(logger=None):
+    """Point JAX's persistent compilation cache at a per-user disk dir so
+    compiled executables survive across processes (the reference has no
+    analog — torch eager pays no compile; here a cold generation ladder
+    costs minutes, see README serving section).
+
+    Policy: AGDIFF_CACHE_DIR=off disables; AGDIFF_CACHE_DIR=<dir> enables
+    anywhere (tests use this on CPU); unset enables at the default path
+    only when NOT running on local CPU — XLA:CPU AOT reloads trip
+    machine-feature checks and log SIGILL warnings, so CPU stays opt-in.
+    Returns the cache dir or None. Safe with backends that cannot
+    serialize executables: JAX warns once and compiles normally."""
+    cache = os.environ.get("AGDIFF_CACHE_DIR")
+    if cache == "off":
+        return None
+    if not cache:
+        if os.environ.get("AGDIFF_PLATFORM") == "cpu":
+            return None
+        cache = os.path.expanduser("~/.cache/agdiff_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # ladder programs all take >>1 s to build; skip trivial host jits
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if logger:
+        logger.info(f"persistent compilation cache: {cache}")
+    return cache
 
 
 def load_inference_bundle(ckpt_arg: str, ckpt_iter=None, dtype=None,
