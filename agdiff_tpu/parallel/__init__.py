@@ -4,3 +4,8 @@ from agdiff_tpu.parallel.data_parallel import (  # noqa: F401
     make_parallel_sampler,
     shard_graph_batch,
 )
+from agdiff_tpu.parallel.sharded import (  # noqa: F401
+    make_hybrid_mesh,
+    make_sharded_train_step,
+    shard_train_state,
+)

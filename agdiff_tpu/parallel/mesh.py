@@ -7,9 +7,11 @@ replicated, the molecule batch sharded on its leading axis. Gradients are
 combined by XLA-inserted collectives (psum over 'dp') via the SPMD
 partitioner — no hand-written NCCL/MPI analogs.
 
-The model is small (~2M params), so tensor/pipeline parallelism buys nothing;
-DP + static bucketing covers both training throughput and generation fan-out
-(per-chip molecule shards).
+The model is small (~2M params), so at flagship size DP + static bucketing
+covers both training throughput and generation fan-out (per-chip molecule
+shards). For scaled-up configs, sharded-parameter layouts (FSDP over
+('dp','fsdp'), tensor parallelism over ('dp','tp')) live in
+parallel/sharded.py.
 """
 
 from __future__ import annotations
