@@ -182,7 +182,8 @@ def _block_agg_kernel(e_ref, w1_ref, w2_ref, h1_ref, h2_ref,
                       fa1_ref, ba1_ref, fb1_ref, bb1_ref,
                       fa2_ref, ba2_ref, fb2_ref, bb2_ref,
                       scalars_ref,  # SMEM: [beta1, beta2]
-                      out1_ref, out2_ref, *, g, n, c, f1, f2):
+                      out1_ref, out2_ref, *, g, n, c, f1, f2,
+                      softplus_fn=jax.nn.softplus):
     beta1 = scalars_ref[0, 0]
     beta2 = scalars_ref[0, 1]
     e = e_ref[:].reshape(g * n * n, c)
@@ -190,7 +191,7 @@ def _block_agg_kernel(e_ref, w1_ref, w2_ref, h1_ref, h2_ref,
     def pathway(w_edge, fa, ba, beta, fb, bb, h, f, out_ref):
         w = jnp.dot(e, fa[:].astype(e.dtype),
                     preferred_element_type=jnp.float32) + ba[:]
-        w = jax.nn.softplus(beta * w) - LN2
+        w = softplus_fn(beta * w) - LN2
         w = jnp.dot(w.astype(e.dtype), fb[:].astype(e.dtype),
                     preferred_element_type=jnp.float32) + bb[:]
         w = w.reshape(g, n, n, f) * w_edge[:][..., None]
@@ -206,6 +207,7 @@ def interaction_block_aggregate(
     edge_attr, w_edge1, w_edge2, h1, h2,
     conv1, conv2,  # dicts with fa, ba, beta, fb, bb
     group: int = DEFAULT_GROUP,
+    softplus_fn: Callable = jax.nn.softplus,
 ):
     """Fused dual-pathway interaction aggregation: one edge_attr read per
     block. The per-edge scalar weights w_edge = DistanceWeightingNetwork x
@@ -221,7 +223,7 @@ def interaction_block_aggregate(
         conv2["beta"].astype(jnp.float32).reshape(()),
     ]).reshape(1, 2)
     kernel = functools.partial(_block_agg_kernel, g=g, n=n, c=c, f1=f1m,
-                               f2=f2m)
+                               f2=f2m, softplus_fn=softplus_fn)
     vm = pltpu.VMEM
     args = [
         edge_attr, w_edge1, w_edge2, h1, h2,

@@ -7,5 +7,6 @@ from agdiff_tpu.parallel.data_parallel import (  # noqa: F401
 from agdiff_tpu.parallel.sharded import (  # noqa: F401
     make_hybrid_mesh,
     make_sharded_train_step,
+    shard_graph_batch_nodes,
     shard_train_state,
 )

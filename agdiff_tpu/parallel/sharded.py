@@ -11,7 +11,7 @@ batch sharded over the data axes — and XLA's SPMD partitioner inserts every
 collective (all-gather of weights at use for FSDP, activation reductions for
 TP). No hand-written communication, exactly like parallel/data_parallel.py.
 
-Layouts (mesh ('dp', 'fsdp') or ('dp', 'tp')):
+Layouts (mesh ('dp', 'fsdp'), ('dp', 'tp') or ('dp', 'sp')):
   * fsdp — the batch's graph axis is sharded over BOTH axes (it is still
     pure data parallelism compute-wise); every parameter / Adam-moment
     tensor above `min_size` elements is sharded on its largest divisible
@@ -21,6 +21,13 @@ Layouts (mesh ('dp', 'fsdp') or ('dp', 'tp')):
     weight matrices are sharded on a feature axis over 'tp', so each chip
     computes a slice of every layer's features (GSPMD propagates the
     activation shardings and inserts the boundary collectives).
+  * sp — spatial (node-axis) parallelism: params replicated, the batch's
+    NODE axis sharded over 'sp', so every dense (B, N, N, ...) pair tensor
+    is row-block sharded and per-device pair-tensor memory drops by ~the
+    'sp' axis size. This is the layout for protein-scale molecules (the
+    long-context analog: a 1000-residue chain's N^2 edge tensors exceed
+    one chip's HBM); between blocks only the small (B, N, F) node features
+    all-gather.
 
 The reference has no analog of any of this (SURVEY.md section 2.5: no
 torch.distributed imports anywhere in /root/reference).
@@ -117,29 +124,60 @@ def _graph_batch_sharding(mesh: Mesh, axes) -> GraphBatch:
                       graph_mask=sh)
 
 
+def graph_batch_node_sharding(mesh: Mesh, node_axis: str = "sp",
+                              data_axes=("dp",)) -> GraphBatch:
+    """Sharding tree for spatial (node-axis) parallelism: the graph axis over
+    `data_axes`, the NODE axis over `node_axis`. Every (B, N, N, ...) pair
+    tensor the forward builds inherits a row-block layout (i-axis sharded,
+    j-axis full), so per-device peak memory for the dense pair fields drops
+    by ~the 'sp' axis size — the layout that makes protein-scale N (where
+    N^2 tensors exceed one chip's HBM) fit. GSPMD inserts the all-gathers
+    of the small (B, N, F) node features between blocks."""
+    d = tuple(data_axes) if len(data_axes) > 1 else data_axes[0]
+    return GraphBatch(
+        atom_type=NamedSharding(mesh, P(d, node_axis)),
+        pos=NamedSharding(mesh, P(d, node_axis, None)),
+        node_mask=NamedSharding(mesh, P(d, node_axis)),
+        bond_adj=NamedSharding(mesh, P(d, node_axis, None)),
+        graph_mask=NamedSharding(mesh, P(d)),
+    )
+
+
 def make_sharded_train_step(model, config, mesh: Mesh, state,
                             mode: str = "fsdp", donate: bool = False,
                             min_size: int = MIN_SHARD_SIZE):
-    """The train step jitted with sharded-parameter in/out layouts.
+    """The train step jitted with sharded in/out layouts.
 
     mode='fsdp': batch sharded over every mesh axis, state sharded over
     'fsdp'. mode='tp': batch sharded over the non-'tp' axes, state sharded
-    over 'tp'. `state` is only used as a shape/structure template for the
-    sharding trees; call shard_train_state with the same (mesh, axis,
-    min_size) to place the live state.
+    over 'tp'. mode='sp': state replicated, batch graph axis over the
+    non-'sp' axes and NODE axis over 'sp' (spatial parallelism — the dense
+    (B, N, N, ...) pair tensors are row-block sharded). `state` is only
+    used as a shape/structure template for the sharding trees; call
+    shard_train_state with the same (mesh, axis, min_size) to place the
+    live state.
     """
     from agdiff_tpu.train.train_step import make_train_step
 
-    axis = {"fsdp": "fsdp", "tp": "tp"}[mode]
+    if mode not in ("fsdp", "tp", "sp"):
+        raise ValueError(f"unknown mode {mode!r}")
+    axis = mode
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no '{axis}' axis")
-    batch_axes = (
-        tuple(mesh.axis_names) if mode == "fsdp"
-        else tuple(a for a in mesh.axis_names if a != "tp")
-    )
-    state_sh = state_shardings(state, mesh, axis, min_size)
-    batch_sh = _graph_batch_sharding(mesh, batch_axes)
     repl = NamedSharding(mesh, P())
+    if mode == "sp":
+        state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+        batch_sh = graph_batch_node_sharding(
+            mesh, node_axis="sp",
+            data_axes=tuple(a for a in mesh.axis_names if a != "sp"),
+        )
+    else:
+        batch_axes = (
+            tuple(mesh.axis_names) if mode == "fsdp"
+            else tuple(a for a in mesh.axis_names if a != "tp")
+        )
+        state_sh = state_shardings(state, mesh, axis, min_size)
+        batch_sh = _graph_batch_sharding(mesh, batch_axes)
 
     inner = make_train_step(model, config, jit=False)
     return jax.jit(
@@ -153,4 +191,13 @@ def make_sharded_train_step(model, config, mesh: Mesh, state,
 def shard_graph_batch_over(batch: GraphBatch, mesh: Mesh, axes) -> GraphBatch:
     """Place a host GraphBatch with the graph axis sharded over `axes`."""
     sh = _graph_batch_sharding(mesh, tuple(axes))
+    return jax.tree_util.tree_map(jax.device_put, batch, sh)
+
+
+def shard_graph_batch_nodes(batch: GraphBatch, mesh: Mesh,
+                            node_axis: str = "sp",
+                            data_axes=("dp",)) -> GraphBatch:
+    """Place a host GraphBatch with the node axis sharded over `node_axis`
+    (spatial parallelism) and the graph axis over `data_axes`."""
+    sh = graph_batch_node_sharding(mesh, node_axis, tuple(data_axes))
     return jax.tree_util.tree_map(jax.device_put, batch, sh)

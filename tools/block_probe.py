@@ -1,0 +1,188 @@
+"""Per-block roofline probe for the SchNet interaction stack.
+
+The measured step floor is ~2.4 ms (bf16, B=128, N=32), of which the 6
+SchNet blocks are 1.68 ms (~0.28 ms/block). The round-3 identity-activation
+bound showed the XLA path is NOT transcendental-bound — so where does a
+block's 0.28 ms go, and what is its speed of light?
+
+Arithmetic at B=128, N=32, C=F=128 per dual-pathway block:
+  - one bf16 (B,N,N,C) tensor = 33.5 MB -> one HBM pass ~= 41 us at v5e's
+    ~820 GB/s.  An ideal fused block reads edge_attr ONCE (+ writes only
+    (B,N,F)): ~45 us.
+  - XLA materializes the filter tensors between/after the matmuls: ~3
+    passes per pathway -> ~250 us/block, matching the measurement ->
+    bandwidth-bound.
+  - inside a VMEM-resident kernel the bound flips to VPU: exact softplus
+    (~10+ elementwise f32 ops on 16.8M elements/pathway) ~= 45 us/pathway,
+    + the f32 scale-and-reduce. This is why the existing fused kernel only
+    broke even: it trades HBM passes for exposed VPU work.
+  - the polynomial softplus (ops/approx.py, ~12 cheap FMA-class ops, no
+    exp/log) was a WASH in XLA (hidden by bandwidth) but attacks exactly
+    the exposed VPU bound in the kernel.
+
+This probe measures, in ONE process on the chip, a 6-block stack driven by
+a lax.scan (dispatch amortized), per scan iteration recomputing the edge
+tensor (2 HBM passes, identical across variants, subtracted via the
+'none' variant):
+
+  none         scaffold only (e recompute + carry update)     -> overhead
+  read         blocks replaced by a single e read each        -> bandwidth
+                                                                 speed of light
+  xla          the production dual-pathway XLA block (fast_forward's
+               cf_pathway_xla structure)
+  pallas       ops/pallas/fused.interaction_block_aggregate (exact softplus)
+  pallas-approx  same kernel with the polynomial softplus in-kernel
+
+Usage:  python tools/block_probe.py [--batch 128] [--nodes 32] [--iters 400]
+        [--variants none,read,xla,pallas,pallas-approx] [--group 8]
+Emits one JSON line with us/block for each variant.
+"""
+
+import argparse
+import functools
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nodes", type=int, default=32)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--blocks", type=int, default=6)
+    ap.add_argument("--group", type=int, default=None,
+                    help="pallas graphs-per-program override")
+    ap.add_argument("--variants",
+                    default="none,read,xla,pallas,pallas-approx")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from agdiff_tpu.ops import approx
+    from agdiff_tpu.ops.pallas import fused
+
+    if args.cpu:
+        fused._INTERPRET = True  # pallas in interpret mode off-TPU
+
+    B, N, F = args.batch, args.nodes, args.feat
+    NB = args.blocks
+    group = args.group or fused.DEFAULT_GROUP
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    e0 = jax.random.normal(ks[0], (B, N, N, F), jnp.bfloat16) * 0.1
+    w_edge = jax.nn.sigmoid(jax.random.normal(ks[1], (B, N, N)))
+    h1_0 = jax.random.normal(ks[2], (B, N, F), jnp.float32) * 0.1
+    h2_0 = jax.random.normal(ks[3], (B, N, F), jnp.float32) * 0.1
+
+    def mk_conv(k):
+        ka, kb = jax.random.split(k)
+        s = (2.0 / F) ** 0.5
+        return {
+            "fa": (jax.random.normal(ka, (F, F), jnp.bfloat16) * s,
+                   jnp.zeros((F,), jnp.float32)),
+            "fb": (jax.random.normal(kb, (F, F), jnp.bfloat16) * s,
+                   jnp.zeros((F,), jnp.float32)),
+            "beta": jnp.ones((), jnp.float32),
+        }
+
+    convs = [(mk_conv(jax.random.fold_in(ks[4], i)),
+              mk_conv(jax.random.fold_in(ks[5], i))) for i in range(NB)]
+
+    LN2 = 0.6931471805599453
+
+    def xla_pathway(e, conv, h):
+        # mirrors models/fast_forward.cf_pathway_xla (minus the cheap
+        # per-edge scalar net, identical across variants via w_edge)
+        w = jnp.matmul(e, conv["fa"][0],
+                       preferred_element_type=jnp.float32) + conv["fa"][1]
+        w = jax.nn.softplus(conv["beta"] * w) - LN2
+        w = (jnp.matmul(w.astype(e.dtype), conv["fb"][0],
+                        preferred_element_type=jnp.float32)
+             + conv["fb"][1]) * w_edge[..., None]
+        return jnp.einsum("bijf,bjf->bif", w, h)
+
+    def block_xla(e, c1, c2, h1, h2):
+        return xla_pathway(e, c1, h1), xla_pathway(e, c2, h2)
+
+    def block_read(e, c1, c2, h1, h2):
+        # one pass over e per block: the bandwidth speed of light for any
+        # fused implementation (plus its tiny (B,N,F) output write)
+        o = jnp.einsum("bijf,bjf->bif", e.astype(jnp.float32), h1)
+        return o, o
+
+    def mk_block_pallas(softplus_fn):
+        def block(e, c1, c2, h1, h2):
+            return fused.interaction_block_aggregate(
+                e, w_edge, w_edge, h1, h2, c1, c2, group=group,
+                softplus_fn=softplus_fn)
+        return block
+
+    blocks_impl = {
+        "none": None,
+        "read": block_read,
+        "xla": block_xla,
+        "pallas": mk_block_pallas(jax.nn.softplus),
+        "pallas-approx": mk_block_pallas(approx.softplus),
+    }
+
+    def mk_stack(block):
+        def step(carry, _):
+            h1, h2 = carry
+            # fresh edge tensor each iteration (prevents filter hoisting;
+            # costs 2 HBM passes, identical in every variant incl. 'none')
+            s = 1.0 + 1e-6 * jnp.mean(h1)
+            e = (e0.astype(jnp.float32) * s).astype(jnp.bfloat16)
+            if block is not None:
+                for c1, c2 in convs:
+                    o1, o2 = block(e, c1, c2, h1, h2)
+                    h1 = 0.9 * h1 + 0.1 * jnp.tanh(o1)
+                    h2 = 0.9 * h2 + 0.1 * jnp.tanh(o2)
+            else:
+                h1 = h1 + 1e-9 * jnp.sum(e[:, 0, 0, :])
+            return (h1, h2), ()
+
+        @jax.jit
+        def run(h1, h2):
+            (h1, h2), _ = jax.lax.scan(step, (h1, h2), None,
+                                       length=args.iters)
+            return h1, h2
+
+        return run
+
+    results = {}
+    base = None
+    for name in args.variants.split(","):
+        run = mk_stack(blocks_impl[name])
+        t0 = time.perf_counter()
+        out = run(h1_0, h2_0)
+        _ = jax.device_get(out[0])
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(h1_0, h2_0)
+            _ = jax.device_get(out[0])
+            ts.append(time.perf_counter() - t0)
+        total = min(ts)
+        entry = {"total_s": round(total, 3), "compile_s": round(compile_s, 1)}
+        if name == "none":
+            base = total
+        else:
+            per_block_us = (total - (base or 0.0)) * 1e6 / (args.iters * NB)
+            entry["us_per_block"] = round(per_block_us, 1)
+        results[name] = entry
+        print(f"# {name}: {entry}", flush=True)
+
+    print(json.dumps({"batch": B, "nodes": N, "feat": F, "iters": args.iters,
+                      "blocks": NB, "group": group, "probes": results}))
+
+
+if __name__ == "__main__":
+    main()
