@@ -300,6 +300,42 @@ def build_fast_forward(
         score = (y @ params6[4] + params6[5])[..., 0]
         return jnp.where(mask, score, 0.0)
 
+    def schnet_block(blk, h, edge_attr, el, env_mask, *,
+                     e_packed=None, pair_id=None):
+        """One dual-pathway interaction-block update h -> h (the reusable
+        stage body: also the pipeline-parallel stage fn, parallel/pipeline)."""
+        c1, c2 = blk["convs"]
+        if use_pallas:
+            a1, a2 = interaction_block_aggregate(
+                edge_attr,
+                dweight(c1, el) * env_mask,
+                dweight(c2, el) * env_mask,
+                node_input(c1, h), node_input(c2, h), c1, c2,
+            )
+        elif e_packed is not None:
+            a1 = cf_pathway_packed(c1, h, e_packed, pair_id, el, env_mask)
+            a2 = cf_pathway_packed(c2, h, e_packed, pair_id, el, env_mask)
+        else:
+            a1 = cf_pathway_xla(c1, h, edge_attr, el, env_mask)
+            a2 = cf_pathway_xla(c2, h, edge_attr, el, env_mask)
+        k, b = c1["lin2"]
+        p1 = a1 @ k + b
+        k, b = c2["lin2"]
+        p2 = a2 @ k + b
+        combined = ssp(jnp.concatenate([p1, p2], axis=-1),
+                        blk["act_beta"])
+        k, b = blk["lin"]
+        combined = combined @ k + b
+        k, b = blk["att0"]
+        gate = jax.nn.relu(combined @ k + b)
+        k, b = blk["att1"]
+        gate = sig_fn(gate @ k + b)
+        out = combined * gate
+        out = out * sig_fn(
+            jax.nn.relu(out @ blk["se0"]) @ blk["se1"]
+        )
+        return h + out
+
     def forward(batch: GraphBatch, *, extend_order: bool = False,
                 extend_radius: bool = True) -> ModelOutput:
         node_mask = batch.node_mask
@@ -351,37 +387,9 @@ def build_fast_forward(
         h = _embed_lookup(schnet_emb, batch.atom_type, cfg.embedding_max_norm)
         env_mask = envelope(dist, cfg) * edge_mask
         for blk in blocks:
-            c1, c2 = blk["convs"]
-            if use_pallas:
-                a1, a2 = interaction_block_aggregate(
-                    edge_attr,
-                    dweight(c1, el) * env_mask,
-                    dweight(c2, el) * env_mask,
-                    node_input(c1, h), node_input(c2, h), c1, c2,
-                )
-            elif pack_pairs:
-                a1 = cf_pathway_packed(c1, h, e_packed, pair_id, el, env_mask)
-                a2 = cf_pathway_packed(c2, h, e_packed, pair_id, el, env_mask)
-            else:
-                a1 = cf_pathway_xla(c1, h, edge_attr, el, env_mask)
-                a2 = cf_pathway_xla(c2, h, edge_attr, el, env_mask)
-            k, b = c1["lin2"]
-            p1 = a1 @ k + b
-            k, b = c2["lin2"]
-            p2 = a2 @ k + b
-            combined = ssp(jnp.concatenate([p1, p2], axis=-1),
-                            blk["act_beta"])
-            k, b = blk["lin"]
-            combined = combined @ k + b
-            k, b = blk["att0"]
-            gate = jax.nn.relu(combined @ k + b)
-            k, b = blk["att1"]
-            gate = sig_fn(gate @ k + b)
-            out = combined * gate
-            out = out * sig_fn(
-                jax.nn.relu(out @ blk["se0"]) @ blk["se1"]
-            )
-            h = h + out
+            h = schnet_block(blk, h, edge_attr, el, env_mask,
+                             e_packed=e_packed if pack_pairs else None,
+                             pair_id=pair_id if pack_pairs else None)
 
         if pack_pairs:
             edge_inv_global = pair_scores_packed(
@@ -434,4 +442,8 @@ def build_fast_forward(
             local_mask=local_mask,
         )
 
+    # expose the stage body + folded per-block params for pipeline
+    # parallelism (parallel/pipeline.schnet_pipeline_stage)
+    forward.schnet_block = schnet_block
+    forward.schnet_blocks = blocks
     return forward
