@@ -55,13 +55,17 @@ def main(argv=None):
     ap.add_argument("--denoise_tail", type=int, default=0,
                     help="extra noise-free steps at the final noise level "
                          "(gradient-only polish; 0 = reference semantics)")
-    # accepted for CLI parity with the reference (scripts/test.py:63-74) but
-    # ignored, exactly as the reference ignores them (dualenc.py:437-438):
-    # the sampler is pure annealed Langevin regardless
+    # the reference accepts these but ignores them (dualenc.py:437-438 —
+    # always annealed Langevin); here 'generalized' is a REAL DDIM sampler
+    # (sampling/langevin.py module docstring) enabling few-step generation
+    # with --ladder strided --n_steps <<5000
     ap.add_argument("--sampling_type", default="ld",
-                    help="accepted and ignored (reference parity)")
+                    choices=["ld", "generalized"],
+                    help="'ld' = reference annealed Langevin; 'generalized' "
+                         "= DDIM (pair with --ladder strided for few-step)")
     ap.add_argument("--eta", type=float, default=1.0,
-                    help="accepted and ignored (reference parity)")
+                    help="generalized-sampler stochasticity (0 = "
+                         "deterministic DDIM); ignored by 'ld'")
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
@@ -134,6 +138,7 @@ def main(argv=None):
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
         denoise_tail=args.denoise_tail,
+        sampling_type=args.sampling_type, eta=args.eta,
     )
     mesh = None
     if args.num_devices:

@@ -61,6 +61,13 @@ def main(argv=None):
     ap.add_argument("--clip", type=float, default=1000.0)
     ap.add_argument("--clip_local", type=float, default=None)
     ap.add_argument("--clip_pos", type=float, default=None)
+    ap.add_argument("--sampling_type", default="ld",
+                    choices=["ld", "generalized"],
+                    help="'ld' = reference annealed Langevin; 'generalized' "
+                         "= DDIM (pair with --ladder strided for few-step)")
+    ap.add_argument("--eta", type=float, default=1.0,
+                    help="generalized-sampler stochasticity (0 = "
+                         "deterministic DDIM); ignored by 'ld'")
     ap.add_argument("--denoise_tail", type=int, default=0,
                     help="extra noise-free steps at the final noise level "
                          "(gradient-only polish; 0 = reference semantics)")
@@ -109,6 +116,7 @@ def main(argv=None):
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
         denoise_tail=args.denoise_tail,
+        sampling_type=args.sampling_type, eta=args.eta,
     )
     mesh = None
     if args.num_devices:

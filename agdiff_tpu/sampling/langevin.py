@@ -14,10 +14,24 @@ one `lax.scan` on device:
 
 Parity notes (SURVEY.md 2.6): the reference accepts sampling_type/eta but
 always runs this same annealed-Langevin update; there is no DDIM/DDPM-noisy
-branch. The update is
+branch (dualenc.py:437-439 threads the kwargs, 462-546 never reads them —
+compute_alpha at 463-466 is dead). The 'ld' update is
     step = step_lr * (sigma_i / 0.01)^2
     pos <- pos + step * eps_pos / sigma_i + sqrt(2*step) * xi,
 then per-graph CoM centering (dualenc.py:526-542).
+
+Extension (sampling_type='generalized'): a REAL DDIM update (Song et al.
+2020) in the model's scaled parameterization. Training perturbs pos by
+sigma_t * eps and regresses eq(d_target) with d_target = (d_gt - d~)/sigma
+(models/loss.py:73), so the assembled drift eps_pos estimates
+(x0 - pos_t)/sigma_t = -eps; with eps_hat = -eps_pos and
+pos_t = x0 + sigma_t * eps the DDIM step x-space algebra reduces to
+    s      = eta * sigma_j * sqrt(1 - a_i/a_j) / sqrt(1 - a_i)   (noise)
+    pos'   = pos + (sqrt(sigma_j^2 - s^2) - sigma_i) * eps_hat + s * z
+(eta=0 deterministic DDIM; j = next, lower-noise timestep). Combined with
+the 'strided' ladder this gives quality-gated few-step sampling the
+reference cannot do (its only knob, n_steps < T, truncates the suffix and
+never reaches high noise levels).
 """
 
 from __future__ import annotations
@@ -56,7 +70,12 @@ class SamplerConfig:
     traj_stride: int = 0         # 0 = no trajectory; k = keep every k-th pos
     denoise_tail: int = 0        # extra NOISE-FREE steps at the final noise
     #   level after the ladder (gradient-only polish toward the mode) — an
-    #   extension the reference does not have; quality-gated like 'strided' 
+    #   extension the reference does not have; quality-gated like 'strided'
+    sampling_type: str = "ld"    # 'ld' = reference annealed Langevin;
+    #   'generalized' = DDIM (module docstring) — pair with ladder='strided'
+    #   and small n_steps for few-step sampling
+    eta: float = 1.0             # 'generalized' stochasticity: 0 =
+    #   deterministic DDIM, 1 = ancestral-like (ignored by 'ld')
 
     def with_clip_local(self, value: float) -> "SamplerConfig":
         return dataclasses.replace(self, clip_local=value)
@@ -83,8 +102,11 @@ def langevin_dynamics_sample(
     (dualenc.py:476). If forward_fn is given (the optimized inference path,
     models/fast_forward.py) it is used instead of model.apply."""
     sigmas = jnp.asarray(diffusion.sigmas, jnp.float32)  # (T,)
+    alphas = jnp.asarray(diffusion.alphas, jnp.float32)  # (T,) cumprod
     T = diffusion.num_timesteps
     cfg = config
+    if cfg.sampling_type not in ("ld", "generalized"):
+        raise ValueError(f"unknown sampling_type {cfg.sampling_type!r}")
     node_mask3 = batch.node_mask[..., None]
 
     pos = pos_init * sigmas[-1] * node_mask3
@@ -94,8 +116,9 @@ def langevin_dynamics_sample(
     prepare = getattr(forward_fn, "prepare", None)
     fwd_kwargs = {} if prepare is None else {"pairs": prepare(batch)}
 
-    def make_step(noise_on: bool):
-      def step(carry, i):
+    def make_step(noise_on: bool, update: str = cfg.sampling_type):
+      def step(carry, ij):
+        i, j = ij[0], ij[1]
         pos, key, nan_flags = carry
         key, noise_key = jax.random.split(key)
 
@@ -141,12 +164,29 @@ def langevin_dynamics_sample(
 
         eps_pos = node_eq_local + node_eq_global * cfg.w_global
 
-        step_size = cfg.step_lr * (sigma_i / 0.01) ** 2
-        pos_next = pos + step_size * eps_pos / sigma_i
-        if noise_on:
-            noise = jax.random.normal(
-                noise_key, pos.shape, pos.dtype) * node_mask3
-            pos_next = pos_next + noise * jnp.sqrt(step_size * 2.0)
+        if update == "generalized":
+            # DDIM in the scaled parameterization (module docstring):
+            # pos' = pos + (sqrt(sig_j^2 - s^2) - sig_i) * eps_hat + s*z
+            a_i = alphas[i]
+            a_j = jnp.where(j >= 0, alphas[jnp.maximum(j, 0)], 1.0)
+            sig2_j = jnp.where(j >= 0,
+                               jnp.square(sigmas[jnp.maximum(j, 0)]), 0.0)
+            s2 = (cfg.eta ** 2) * sig2_j * (1.0 - a_i / a_j) / (1.0 - a_i)
+            s2 = jnp.clip(s2, 0.0, sig2_j)
+            c_eps = jnp.sqrt(sig2_j - s2)
+            eps_hat = -eps_pos
+            pos_next = pos + (c_eps - sigma_i) * eps_hat
+            if noise_on:
+                noise = jax.random.normal(
+                    noise_key, pos.shape, pos.dtype) * node_mask3
+                pos_next = pos_next + noise * jnp.sqrt(s2)
+        else:
+            step_size = cfg.step_lr * (sigma_i / 0.01) ** 2
+            pos_next = pos + step_size * eps_pos / sigma_i
+            if noise_on:
+                noise = jax.random.normal(
+                    noise_key, pos.shape, pos.dtype) * node_mask3
+                pos_next = pos_next + noise * jnp.sqrt(step_size * 2.0)
         # per-graph NaN guard (dualenc.py:539-541), flag instead of raise
         nan_now = jnp.any(~jnp.isfinite(pos_next), axis=(1, 2))
         nan_flags = nan_flags | nan_now
@@ -167,6 +207,12 @@ def langevin_dynamics_sample(
         ).astype(jnp.int32)
     else:
         indices = jnp.arange(T - 1, T - cfg.n_steps - 1, -1)
+    # each scan element is (current, next) — 'generalized' jumps straight to
+    # the next ladder level; the final next is -1 (clean, sigma=0)
+    steps = jnp.stack(
+        [indices,
+         jnp.concatenate([indices[1:], jnp.full((1,), -1, indices.dtype)])],
+        axis=1)
     init = (pos, key, jnp.zeros((batch.num_graphs,), bool))
 
     if cfg.traj_stride and cfg.traj_stride > 0:
@@ -177,25 +223,26 @@ def langevin_dynamics_sample(
             carry, _ = jax.lax.scan(step, carry, idx_chunk)
             return carry, carry[0]
 
-        chunks = indices[: n_outer * stride].reshape(n_outer, stride)
+        chunks = steps[: n_outer * stride].reshape(n_outer, stride, 2)
         (pos, key, nan_flags), traj = jax.lax.scan(outer, init, chunks)
-        rem = indices[n_outer * stride :]
+        rem = steps[n_outer * stride :]
         if rem.shape[0]:
             (pos, key, nan_flags), _ = jax.lax.scan(
                 step, (pos, key, nan_flags), rem
             )
     else:
         (pos, key, nan_flags), _ = jax.lax.scan(
-            step, init, indices, unroll=cfg.unroll
+            step, init, steps, unroll=cfg.unroll
         )
         traj = None
 
     if cfg.denoise_tail:
-        # gradient-only polish at the final noise level: same update with
-        # the stochastic term off, pulling samples toward the local mode
-        tail = jnp.full((cfg.denoise_tail,), indices[-1], jnp.int32)
+        # gradient-only polish at the final noise level: the noise-free
+        # Langevin update in every mode (a generalized step at (i, i) would
+        # be a no-op — sigma_j == sigma_i)
+        tail = jnp.full((cfg.denoise_tail, 2), indices[-1], jnp.int32)
         (pos, key, nan_flags), _ = jax.lax.scan(
-            make_step(False), (pos, key, nan_flags), tail
+            make_step(False, update="ld"), (pos, key, nan_flags), tail
         )
 
     return SampleResult(pos=pos, nan_flags=nan_flags, traj=traj)
