@@ -66,6 +66,9 @@ def main(argv=None):
     ap.add_argument("--eta", type=float, default=1.0,
                     help="generalized-sampler stochasticity (0 = "
                          "deterministic DDIM); ignored by 'ld'")
+    ap.add_argument("--solver", default="euler", choices=["euler", "heun"],
+                    help="generalized-sampler ODE solver; 'heun' = "
+                         "2nd-order (requires --eta 0, 2 model evals/step)")
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--chunk_size", type=int, default=64)
     ap.add_argument("--num_devices", type=int, default=0)
@@ -138,7 +141,7 @@ def main(argv=None):
         global_start_sigma=args.global_start_sigma, clip=args.clip,
         clip_local=args.clip_local, clip_pos=args.clip_pos,
         denoise_tail=args.denoise_tail,
-        sampling_type=args.sampling_type, eta=args.eta,
+        sampling_type=args.sampling_type, eta=args.eta, solver=args.solver,
     )
     mesh = None
     if args.num_devices:

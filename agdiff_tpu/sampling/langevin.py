@@ -32,6 +32,13 @@ pos_t = x0 + sigma_t * eps the DDIM step x-space algebra reduces to
 the 'strided' ladder this gives quality-gated few-step sampling the
 reference cannot do (its only knob, n_steps < T, truncates the suffix and
 never reaches high noise levels).
+
+At eta=0 the DDIM step is Euler on the probability-flow ODE
+dx/dsigma = eps_hat(x, sigma); solver='heun' upgrades it to Heun's method
+(Karras et al. 2022 Alg. 1): predict with the current slope, re-evaluate
+the score at the predicted point and the NEXT noise level, average the two
+slopes. 2 model evals per step, ~2x fewer steps at equal quality; the final
+step (sigma_j = 0) stays Euler as in Karras.
 """
 
 from __future__ import annotations
@@ -76,6 +83,9 @@ class SamplerConfig:
     #   and small n_steps for few-step sampling
     eta: float = 1.0             # 'generalized' stochasticity: 0 =
     #   deterministic DDIM, 1 = ancestral-like (ignored by 'ld')
+    solver: str = "euler"        # 'generalized' ODE solver: 'euler' = plain
+    #   DDIM; 'heun' = 2nd-order (module docstring; requires eta=0; 2 model
+    #   evals/step). Ignored by 'ld'.
 
     def with_clip_local(self, value: float) -> "SamplerConfig":
         return dataclasses.replace(self, clip_local=value)
@@ -107,6 +117,12 @@ def langevin_dynamics_sample(
     cfg = config
     if cfg.sampling_type not in ("ld", "generalized"):
         raise ValueError(f"unknown sampling_type {cfg.sampling_type!r}")
+    if cfg.solver not in ("euler", "heun"):
+        raise ValueError(f"unknown solver {cfg.solver!r}")
+    if (cfg.solver == "heun" and cfg.sampling_type == "generalized"
+            and cfg.eta != 0.0):
+        raise ValueError("solver='heun' integrates the probability-flow "
+                         "ODE and requires eta=0")
     node_mask3 = batch.node_mask[..., None]
 
     pos = pos_init * sigmas[-1] * node_mask3
@@ -116,15 +132,13 @@ def langevin_dynamics_sample(
     prepare = getattr(forward_fn, "prepare", None)
     fwd_kwargs = {} if prepare is None else {"pairs": prepare(batch)}
 
-    def make_step(noise_on: bool, update: str = cfg.sampling_type):
-      def step(carry, ij):
-        i, j = ij[0], ij[1]
-        pos, key, nan_flags = carry
-        key, noise_key = jax.random.split(key)
-
+    def eps_at(p, sigma):
+        """The assembled drift eps_pos at positions p and noise level sigma
+        (dualenc.py:478-524: local branch + clip, global branch gated by
+        global_start_sigma)."""
         if forward_fn is not None:
             out = forward_fn(
-                batch.replace(pos=pos),
+                batch.replace(pos=p),
                 extend_order=cfg.extend_order,
                 extend_radius=cfg.extend_radius,
                 **fwd_kwargs,
@@ -132,37 +146,44 @@ def langevin_dynamics_sample(
         else:
             out = model.apply(
                 variables,
-                batch.replace(pos=pos),
+                batch.replace(pos=p),
                 train=False,
                 extend_order=cfg.extend_order,
                 extend_radius=cfg.extend_radius,
             )
-        sigma_i = sigmas[i]
 
         # local branch
         node_eq_local = eq_transform_dense(
-            out.edge_inv_local, pos, out.local_mask, out.edge_length
+            out.edge_inv_local, p, out.local_mask, out.edge_length
         )
         if cfg.clip_local is not None:
             node_eq_local = clip_norm(node_eq_local, cfg.clip_local)
 
-        # global branch — active once sigma_i < global_start_sigma
+        # global branch — active once sigma < global_start_sigma
         # (dualenc.py:515-524); computed unconditionally, gated by a factor,
         # to keep the scan body branch-free.
         inv_global = out.edge_inv_global * (
             1.0 - out.local_mask.astype(jnp.float32)
         )
         node_eq_global = eq_transform_dense(
-            inv_global, pos, out.edge_mask, out.edge_length
+            inv_global, p, out.edge_mask, out.edge_length
         )
         node_eq_global = clip_norm(node_eq_global, cfg.clip)
         # jnp.where (not multiply-by-zero) so an inactive global branch can
         # never inject NaN/Inf into eps_pos
         node_eq_global = jnp.where(
-            sigma_i < cfg.global_start_sigma, node_eq_global, 0.0
+            sigma < cfg.global_start_sigma, node_eq_global, 0.0
         )
 
-        eps_pos = node_eq_local + node_eq_global * cfg.w_global
+        return node_eq_local + node_eq_global * cfg.w_global
+
+    def make_step(noise_on: bool, update: str = cfg.sampling_type):
+      def step(carry, ij):
+        i, j = ij[0], ij[1]
+        pos, key, nan_flags = carry
+        key, noise_key = jax.random.split(key)
+        sigma_i = sigmas[i]
+        eps_pos = eps_at(pos, sigma_i)
 
         if update == "generalized":
             # DDIM in the scaled parameterization (module docstring):
@@ -176,6 +197,15 @@ def langevin_dynamics_sample(
             c_eps = jnp.sqrt(sig2_j - s2)
             eps_hat = -eps_pos
             pos_next = pos + (c_eps - sigma_i) * eps_hat
+            if cfg.solver == "heun":
+                # eta=0 (validated) so c_eps == sigma_j: pos_next is the
+                # Euler predictor. Re-evaluate the slope at the predicted
+                # point and the NEXT noise level, average (Karras Alg. 1);
+                # the final step (sigma_j = 0) stays Euler.
+                eps_hat2 = -eps_at(pos_next, jnp.sqrt(sig2_j))
+                pos_heun = pos + (c_eps - sigma_i) * 0.5 * (
+                    eps_hat + eps_hat2)
+                pos_next = jnp.where(j >= 0, pos_heun, pos_next)
             if noise_on:
                 noise = jax.random.normal(
                     noise_key, pos.shape, pos.dtype) * node_mask3

@@ -179,6 +179,64 @@ class TestDDIMMath:
         assert abs(got - expect) / expect < 0.15, (got, expect)
 
 
+class TestHeun:
+    def test_two_step_trajectory(self):
+        """n_steps=2 strided heun: hand-computed predictor-corrector
+        trajectory (final sigma_j=0 step stays Euler)."""
+        t = TestDDIMMath()
+        batch, diffusion, inv_g, inv_l, em, lm = t._setup()
+        scfg = SamplerConfig(n_steps=2, ladder="strided",
+                             sampling_type="generalized", eta=0.0,
+                             solver="heun", global_start_sigma=float("inf"))
+        fwd = _const_forward(inv_g, inv_l, em, lm)
+        pos_init = jax.random.normal(jax.random.PRNGKey(6), batch.pos.shape)
+        res = langevin_dynamics_sample(None, None, batch, pos_init,
+                                       jax.random.PRNGKey(5), diffusion,
+                                       scfg, forward_fn=fwd)
+        sigmas = jnp.asarray(diffusion.sigmas)
+        T = diffusion.num_timesteps
+        nm3 = batch.node_mask[..., None]
+        eps = lambda p, s: -t._eps_pos(inv_g, inv_l, p, em, lm, scfg, s)
+        pos = pos_init * sigmas[T - 1] * nm3
+        # step 1: i=T-1 -> j=0, heun
+        h = sigmas[0] - sigmas[T - 1]
+        d1 = eps(pos, sigmas[T - 1])
+        d2 = eps(pos + h * d1, sigmas[0])
+        pos = center_pos(pos + h * 0.5 * (d1 + d2), batch.node_mask)
+        # step 2: i=0 -> j=-1 (sigma_j=0): Euler
+        pos = center_pos(pos + (0.0 - sigmas[0]) * eps(pos, sigmas[0]),
+                         batch.node_mask)
+        np.testing.assert_allclose(np.asarray(res.pos), np.asarray(pos),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_heun_requires_eta0(self):
+        t = TestDDIMMath()
+        batch, diffusion, inv_g, inv_l, em, lm = t._setup()
+        scfg = SamplerConfig(n_steps=4, sampling_type="generalized",
+                             eta=0.5, solver="heun")
+        with pytest.raises(ValueError, match="eta=0"):
+            langevin_dynamics_sample(
+                None, None, batch, jnp.zeros(batch.pos.shape),
+                jax.random.PRNGKey(0), diffusion, scfg,
+                forward_fn=_const_forward(inv_g, inv_l, em, lm))
+
+    def test_smoke_real_model(self, smoke_config):
+        mol = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3)[0]
+        batch = repeat_molecule(mol, 2, max_nodes=16)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=6, ladder="strided",
+                             sampling_type="generalized", eta=0.0,
+                             solver="heun", w_global=0.3)
+        res = build_sampler(model, diffusion, scfg)(
+            variables, batch,
+            jax.random.normal(jax.random.PRNGKey(3), batch.pos.shape),
+            jax.random.PRNGKey(4))
+        assert np.isfinite(np.asarray(res.pos)).all()
+        assert not np.asarray(res.nan_flags).any()
+
+
 class TestGeneralizedEndToEnd:
     def test_smoke_real_model(self, smoke_config):
         mol = synthetic_dataset(1, seed=2, min_heavy=3, max_heavy=3)[0]
