@@ -50,12 +50,13 @@ def enable_compilation_cache(logger=None):
 
 
 def load_inference_bundle(ckpt_arg: str, ckpt_iter=None, dtype=None,
-                          logger=None):
+                          logger=None, use_ema: bool = False):
     """Resolve a log dir / native checkpoint / reference .pt checkpoint to
     (config, variables, ckpt_path, iteration). The model config travels in
     the checkpoint (reference: scripts/test.py:111); `dtype` overrides the
     compute dtype (bfloat16 sampling of f32-trained models is the fastest
-    configuration)."""
+    configuration). use_ema samples with the EMA shadow weights (requires a
+    checkpoint trained with config.train.ema_decay > 0)."""
     from agdiff_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
 
     if os.path.isdir(os.path.join(ckpt_arg, "checkpoints")):
@@ -70,12 +71,24 @@ def load_inference_bundle(ckpt_arg: str, ckpt_iter=None, dtype=None,
 
         variables, model_config = load_reference_checkpoint(ckpt_path)
         config = Config(model=model_config)
+        if use_ema:
+            raise ValueError("--ema is not available for imported reference "
+                             ".pt checkpoints (no EMA shadow)")
         if logger:
             logger.info("imported reference torch checkpoint")
     else:
         ckpt = load_checkpoint(ckpt_path)
         config = ckpt["config"]
-        variables = {"params": ckpt["params"],
+        params = ckpt["params"]
+        if use_ema:
+            if "ema_params" not in ckpt:
+                raise ValueError(
+                    f"--ema requested but {ckpt_path} has no EMA shadow "
+                    "(train with config.train.ema_decay > 0)")
+            params = ckpt["ema_params"]
+            if logger:
+                logger.info("sampling with EMA weights")
+        variables = {"params": params,
                      "batch_stats": ckpt["batch_stats"]}
     if dtype:
         import dataclasses as _dc

@@ -90,6 +90,9 @@ def main(argv=None):
                     help="override the compute dtype from the checkpoint "
                          "config (bfloat16 sampling of f32-trained models "
                          "is the fastest configuration)")
+    ap.add_argument("--ema", action="store_true",
+                    help="sample with the EMA shadow weights (checkpoint "
+                         "must be trained with train.ema_decay > 0)")
     args = ap.parse_args(argv)
 
     from agdiff_tpu.cli._common import load_inference_bundle
@@ -115,7 +118,7 @@ def main(argv=None):
     logger.info("checkpoint: %s -> out: %s", ckpt_path, out_dir)
 
     config, variables, _, _ = load_inference_bundle(
-        args.ckpt, args.ckpt_iter, args.dtype, logger)
+        args.ckpt, args.ckpt_iter, args.dtype, logger, use_ema=args.ema)
     model = get_model(config.model)
     diffusion = make_diffusion(config.model)
 

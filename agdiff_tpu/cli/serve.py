@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--dtype", default=None,
                     choices=[None, "float32", "bfloat16"])
+    ap.add_argument("--ema", action="store_true",
+                    help="sample with the EMA shadow weights (checkpoint "
+                         "must be trained with train.ema_decay > 0)")
     args = ap.parse_args(argv)
 
     if args.submit is not None:
@@ -109,7 +112,7 @@ def main(argv=None):
 
     logger = get_logger("serve")
     config, variables, ckpt_path, _ = load_inference_bundle(
-        args.ckpt, args.ckpt_iter, args.dtype, logger)
+        args.ckpt, args.ckpt_iter, args.dtype, logger, use_ema=args.ema)
     logger.info("checkpoint: %s", ckpt_path)
     model = get_model(config.model)
     diffusion = make_diffusion(config.model)

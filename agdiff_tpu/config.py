@@ -112,6 +112,12 @@ class TrainConfig:
     # on a remote-tunneled chip, nonzero everywhere. 1 = reference-style
     # one-step-per-dispatch. Logging/validation cadence rounds to chunks.
     step_chunk: int = 1
+    # Exponential moving average of the parameters (an extension — the
+    # reference trains/evals raw weights only). 0 = off (reference
+    # semantics); 0.999 is the usual diffusion-model setting. The EMA
+    # shadow is checkpointed alongside the raw params; cli.generate --ema
+    # samples with it.
+    ema_decay: float = 0.0
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 

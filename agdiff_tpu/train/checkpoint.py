@@ -44,6 +44,11 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
     }
+    if state.ema_params is not None:
+        # EMA extension (config.train.ema_decay > 0): the shadow weights
+        # travel in the checkpoint; absent otherwise so the on-disk format
+        # is unchanged for reference-parity training
+        payload["ema_params"] = state.ema_params
     meta = {
         "config": config_to_json(config),
         "iteration": iteration,
@@ -90,6 +95,8 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
             "opt_state": target.opt_state,
             "step": np.asarray(target.step),
         }
+        if getattr(target, "ema_params", None) is not None:
+            payload_target["ema_params"] = target.ema_params
         payload = ckptr.restore(os.path.join(path, "state"), payload_target)
     else:
         # No target: restore as host numpy arrays so checkpoints are portable

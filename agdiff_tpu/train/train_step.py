@@ -32,6 +32,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA shadow of params (config.train.ema_decay > 0), else None — None is
+    # an empty pytree subtree, so every transform/sharding path is unchanged
+    # when the feature is off.
+    ema_params: Any = None
 
 
 class StepMetrics(NamedTuple):
@@ -56,6 +60,10 @@ def create_train_state(config: Config, key: jax.Array, max_nodes: int,
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        # tree_map(copy) — aliasing params would make donation see the same
+        # buffer twice (f(donate(a), donate(a)))
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if config.train.ema_decay > 0 else None),
     )
     return model, state
 
@@ -90,11 +98,17 @@ def make_train_step(model, config: Config, donate: bool = True,
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = config.train.ema_decay  # static: traced away when 0
+        new_ema = (jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p,
+            state.ema_params, new_params,
+        ) if d > 0 else state.ema_params)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         metrics = StepMetrics(
             loss=loss, loss_global=lo.loss_global, loss_local=lo.loss_local,

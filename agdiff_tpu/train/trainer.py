@@ -110,6 +110,7 @@ class Trainer:
             params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
             opt_state=ckpt["opt_state"],
+            ema_params=ckpt.get("ema_params"),
         )
         self.plateau_global = ckpt["plateau_global"]
         self.plateau_local = ckpt["plateau_local"]
@@ -125,6 +126,7 @@ class Trainer:
                 self.state.opt_state, self.plateau_global.lr,
                 self.plateau_local.lr,
             ),
+            ema_params=self.state.ema_params,
         )
 
     def validate(self, it: int) -> float:
