@@ -76,9 +76,10 @@ def main():
                          "protocol (sampling_type=generalized, strided, "
                          "eta=1) at this many steps and report it in "
                          "detail.ddim (0 = skip). Quality evidence: "
-                         "tools/ddim_ladder.sh — DDIM-100 MAT-R 0.655 "
-                         "BEATS the 5000-step ld protocol's 0.680 on the "
-                         "same checkpoint/test set (README).")
+                         "tools/ddim_ladder.sh — DDIM-100 is statistical "
+                         "parity with the 5000-step ld protocol (MAT-R "
+                         "0.655 vs 0.680, paired p=0.21) on the same "
+                         "checkpoint/test set (README).")
     args = ap.parse_args()
 
     import jax
@@ -196,9 +197,10 @@ def main():
             "ms_per_step": round(1000.0 * dt / args.ddim_steps, 3),
             "compile_plus_first_s": round(d_compile, 1),
             "vs_baseline": round(args.batch / dt / BASELINE_CONF_PER_SEC, 1),
-            "quality_evidence": "DDIM-100 MAT-R 0.655 / COV-R >= ld-5000's "
-                                "at every threshold vs ld-5000 0.680 "
-                                "(arm G ckpt, 60 held-out rich molecules; "
+            "quality_evidence": "DDIM-100 MAT-R 0.655 vs ld-5000's 0.680 "
+                                "(arm G ckpt, 60 held-out rich molecules): "
+                                "statistical parity at 50x fewer steps "
+                                "(paired delta -0.025+-0.020, p=0.21; "
                                 "tools/ddim_ladder.sh, README)",
         }
 
