@@ -59,9 +59,18 @@ def center_pos(pos: jax.Array, node_mask: jax.Array) -> jax.Array:
 
 
 def clip_norm(vec: jax.Array, limit: float) -> jax.Array:
-    """Row-wise L2 norm clip (reference: dualenc.py:586-589)."""
-    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    denom = jnp.where(norm > limit, limit / jnp.maximum(norm, EPS), 1.0)
+    """Row-wise L2 norm clip (reference: dualenc.py:586-589).
+
+    Differentiable at vec = 0: sqrt(max(sq, EPS^2)) instead of
+    jnp.linalg.norm — value-identical for every row the clip can affect
+    (norm > limit >> EPS) but with a finite gradient on all-zero rows
+    (padded nodes), which the raw norm's 0/0 would turn into NaN. The
+    distillation loss differentiates through the assembled drift's clips
+    (train/distill.py); the reference never does (clip_norm sits outside
+    its autograd path, dualenc.py:505-521)."""
+    sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, EPS * EPS))
+    denom = jnp.where(norm > limit, limit / norm, 1.0)
     return vec * denom
 
 

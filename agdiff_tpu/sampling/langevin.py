@@ -97,6 +97,44 @@ class SampleResult(NamedTuple):
     traj: Optional[jax.Array]  # (T//stride, B, N, 3) or None
 
 
+def assemble_drift(out, pos, sigma, cfg: SamplerConfig):
+    """The assembled drift eps_pos from a model output at positions `pos`
+    and noise level `sigma` (dualenc.py:478-524: local branch + clip, global
+    branch gated by global_start_sigma).
+
+    `sigma` may be a scalar (the sampler ladder) or a (B,) per-graph array
+    (progressive distillation trains every ladder level in one batch,
+    train/distill.py). Shared by the sampler's step scan and the distill
+    loss so the student regresses the EXACT function used at sampling time.
+    """
+    # local branch
+    node_eq_local = eq_transform_dense(
+        out.edge_inv_local, pos, out.local_mask, out.edge_length
+    )
+    if cfg.clip_local is not None:
+        node_eq_local = clip_norm(node_eq_local, cfg.clip_local)
+
+    # global branch — active once sigma < global_start_sigma
+    # (dualenc.py:515-524); computed unconditionally, gated by a factor,
+    # to keep the scan body branch-free.
+    inv_global = out.edge_inv_global * (
+        1.0 - out.local_mask.astype(jnp.float32)
+    )
+    node_eq_global = eq_transform_dense(
+        inv_global, pos, out.edge_mask, out.edge_length
+    )
+    node_eq_global = clip_norm(node_eq_global, cfg.clip)
+    sigma = jnp.asarray(sigma)
+    gate = (sigma < cfg.global_start_sigma)
+    if sigma.ndim:  # per-graph (B,) -> broadcast over (B, N, 3)
+        gate = gate[:, None, None]
+    # jnp.where (not multiply-by-zero) so an inactive global branch can
+    # never inject NaN/Inf into eps_pos
+    node_eq_global = jnp.where(gate, node_eq_global, 0.0)
+
+    return node_eq_local + node_eq_global * cfg.w_global
+
+
 def langevin_dynamics_sample(
     model,
     variables,
@@ -134,8 +172,7 @@ def langevin_dynamics_sample(
 
     def eps_at(p, sigma):
         """The assembled drift eps_pos at positions p and noise level sigma
-        (dualenc.py:478-524: local branch + clip, global branch gated by
-        global_start_sigma)."""
+        (assemble_drift above)."""
         if forward_fn is not None:
             out = forward_fn(
                 batch.replace(pos=p),
@@ -151,31 +188,7 @@ def langevin_dynamics_sample(
                 extend_order=cfg.extend_order,
                 extend_radius=cfg.extend_radius,
             )
-
-        # local branch
-        node_eq_local = eq_transform_dense(
-            out.edge_inv_local, p, out.local_mask, out.edge_length
-        )
-        if cfg.clip_local is not None:
-            node_eq_local = clip_norm(node_eq_local, cfg.clip_local)
-
-        # global branch — active once sigma < global_start_sigma
-        # (dualenc.py:515-524); computed unconditionally, gated by a factor,
-        # to keep the scan body branch-free.
-        inv_global = out.edge_inv_global * (
-            1.0 - out.local_mask.astype(jnp.float32)
-        )
-        node_eq_global = eq_transform_dense(
-            inv_global, p, out.edge_mask, out.edge_length
-        )
-        node_eq_global = clip_norm(node_eq_global, cfg.clip)
-        # jnp.where (not multiply-by-zero) so an inactive global branch can
-        # never inject NaN/Inf into eps_pos
-        node_eq_global = jnp.where(
-            sigma < cfg.global_start_sigma, node_eq_global, 0.0
-        )
-
-        return node_eq_local + node_eq_global * cfg.w_global
+        return assemble_drift(out, p, sigma, cfg)
 
     def make_step(noise_on: bool, update: str = cfg.sampling_type):
       def step(carry, ij):
