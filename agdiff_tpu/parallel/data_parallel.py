@@ -54,6 +54,29 @@ def make_parallel_train_step(model, config, mesh: Mesh, donate: bool = True):
     )
 
 
+def make_parallel_distill_step(model, config, sampler_cfg, n_student: int,
+                               mesh: Mesh, donate: bool = True):
+    """DP version of train.distill.make_distill_step: the molecule batch is
+    sharded over the mesh, student state and frozen teacher variables are
+    replicated, and the SPMD partitioner inserts the gradient all-reduce —
+    identical communication story to the train step (the teacher's 2-step
+    rollout is pure per-graph math)."""
+    from agdiff_tpu.train.distill import make_distill_step
+
+    inner = make_distill_step(model, config, sampler_cfg, n_student,
+                              jit=False)
+
+    batch_sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), _batch_spec(mesh)
+    )
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        inner,
+        in_shardings=(repl, repl, batch_sh, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_parallel_chunked_train_step(model, config, chunk: int, mesh: Mesh,
                                      donate: bool = True):
     """DP version of train.train_step.make_chunked_train_step: K optimizer

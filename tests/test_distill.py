@@ -206,6 +206,56 @@ class TestDistillStep:
                                    rtol=1e-5, atol=1e-7)
 
 
+class TestParallelDistill:
+    def test_dp_equals_single_device(self, distill_config, teacher):
+        """Sharded-batch distill step == single-device step (loss + params),
+        same contract as the DP train-step equivalence tests."""
+        from agdiff_tpu.parallel import make_mesh
+        from agdiff_tpu.parallel.data_parallel import (
+            make_parallel_distill_step, shard_graph_batch)
+        from agdiff_tpu.train.distill import make_distill_step
+        from agdiff_tpu.train.optimizer import make_optimizer
+        from agdiff_tpu.train.train_step import TrainState
+
+        model, tstate, batch, _ = teacher
+        cfg = SamplerConfig(sampling_type="generalized", eta=0.0,
+                            ladder="strided", w_global=0.3, clip_local=20.0)
+        tx = make_optimizer(distill_config.train)
+
+        def fresh():
+            params = jax.tree_util.tree_map(jnp.copy, tstate.params)
+            stats = jax.tree_util.tree_map(jnp.copy, tstate.batch_stats)
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              batch_stats=stats, opt_state=tx.init(params))
+
+        tv = {"params": tstate.params, "batch_stats": tstate.batch_stats}
+        key = jax.random.PRNGKey(13)
+
+        s1, _ = fresh(), None
+        single = make_distill_step(model, distill_config, cfg, 8,
+                                   donate=False)
+        s1, m1 = single(s1, tv, batch, key)
+
+        mesh = make_mesh(8)
+        par = make_parallel_distill_step(model, distill_config, cfg, 8,
+                                         mesh, donate=False)
+        s2 = fresh()
+        s2, m2 = par(s2, tv, shard_graph_batch(batch, mesh), key)
+
+        # loss + grad_norm equivalence, same contract as the DP train-step
+        # tests (test_train_eval.py:244-248) — updated params are NOT
+        # compared bitwise: Adam's g/sqrt(v) amplifies f32 reduction-order
+        # noise on near-zero gradients
+        assert float(m1.loss) == pytest.approx(float(m2.loss), rel=1e-5)
+        assert float(m1.grad_norm) == pytest.approx(float(m2.grad_norm),
+                                                    rel=1e-4)
+        a = np.concatenate([np.ravel(x) for x in
+                            jax.tree_util.tree_leaves(s1.params)])
+        b = np.concatenate([np.ravel(x) for x in
+                            jax.tree_util.tree_leaves(s2.params)])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-3)
+
+
 class TestDistillCLI:
     def test_end_to_end_checkpoint_samples(self, tmp_path, distill_config,
                                            teacher):
