@@ -74,7 +74,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from agdiff_tpu.cli._common import load_inference_bundle
     from agdiff_tpu.data.dataset import (BucketedLoader,
@@ -143,7 +142,9 @@ def main(argv=None):
     stages = [int(s) for s in args.stages.split(",")]
     tx = make_optimizer(config.train)
     key = jax.random.PRNGKey(args.seed)
-    teacher = teacher_vars
+    # device-resident ONCE: a host (numpy) teacher would re-transfer every
+    # dispatch (~25 ms/array through a remote-chip tunnel, CLAUDE round-2)
+    teacher = jax.device_put(teacher_vars)
     summary = []
     for n_student in stages:
         stage_dir = os.path.join(args.logdir, f"stage{n_student}")
@@ -221,7 +222,11 @@ def main(argv=None):
                 best = avg < best_val
                 if best:
                     best_val = avg
-                    best_params = jax.tree_util.tree_map(np.asarray,
+                    # device-resident snapshot (jnp.copy, not np.asarray):
+                    # this becomes the next stage's teacher and must not
+                    # re-transfer every dispatch; copy so later donated
+                    # updates of `state` cannot touch it
+                    best_params = jax.tree_util.tree_map(jnp.copy,
                                                          state.params)
                 save_checkpoint(stage_dir, it, config, state,
                                 plateau_init(args.lr), plateau_init(args.lr),
