@@ -70,6 +70,10 @@ def main(argv=None):
     ap.add_argument("--global_start_sigma", type=float, default=0.5)
     ap.add_argument("--clip", type=float, default=1000.0)
     ap.add_argument("--clip_local", type=float, default=20.0)
+    ap.add_argument("--weighting", default="trunc-snr",
+                    choices=["trunc-snr", "eps", "step"],
+                    help="per-step loss weight (train/distill.py "
+                         "make_distill_loss docstring)")
     args = ap.parse_args(argv)
 
     import jax
@@ -161,12 +165,15 @@ def main(argv=None):
                                                teacher["batch_stats"]),
             opt_state=tx.init(params),
         )
-        step1 = make_distill_step(model, config, sampler_cfg, n_student)
+        step1 = make_distill_step(model, config, sampler_cfg, n_student,
+                                  weighting=args.weighting)
         stepK = (make_chunked_distill_step(model, config, sampler_cfg,
-                                           n_student, chunk)
+                                           n_student, chunk,
+                                           weighting=args.weighting)
                  if chunk > 1 else None)
         eval_step = make_distill_eval_step(model, config, sampler_cfg,
-                                           n_student)
+                                           n_student,
+                                           weighting=args.weighting)
         loader = BucketedLoader(train_set, batch_size, buckets,
                                 edge_order=config.model.edge_order,
                                 seed=args.seed)
@@ -247,7 +254,7 @@ def main(argv=None):
                     n_student, best_val, stage_dir)
 
     with open(os.path.join(args.logdir, "STAGES.json"), "w") as fh:
-        json.dump({"stages": summary,
+        json.dump({"stages": summary, "weighting": args.weighting,
                    "sampler": dataclasses.asdict(sampler_cfg)}, fh, indent=1)
     logger.info("distillation complete: %s", args.logdir)
 

@@ -55,7 +55,8 @@ def make_parallel_train_step(model, config, mesh: Mesh, donate: bool = True):
 
 
 def make_parallel_distill_step(model, config, sampler_cfg, n_student: int,
-                               mesh: Mesh, donate: bool = True):
+                               mesh: Mesh, donate: bool = True,
+                               weighting: str = "trunc-snr"):
     """DP version of train.distill.make_distill_step: the molecule batch is
     sharded over the mesh, student state and frozen teacher variables are
     replicated, and the SPMD partitioner inserts the gradient all-reduce —
@@ -64,7 +65,7 @@ def make_parallel_distill_step(model, config, sampler_cfg, n_student: int,
     from agdiff_tpu.train.distill import make_distill_step
 
     inner = make_distill_step(model, config, sampler_cfg, n_student,
-                              jit=False)
+                              jit=False, weighting=weighting)
 
     batch_sh = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), _batch_spec(mesh)

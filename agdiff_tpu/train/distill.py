@@ -89,10 +89,21 @@ def ladder_triplets(
 
 
 def make_distill_loss(model, config: Config, sampler_cfg: SamplerConfig,
-                      n_student: int):
+                      n_student: int, weighting: str = "trunc-snr"):
     """The distillation loss
         loss_fn(params, batch_stats, teacher_variables, batch, key) -> scalar
-    (module docstring for the math). Shared by the train and eval steps."""
+    (module docstring for the math). Shared by the train and eval steps.
+
+    weighting — per-step weight on the eps-space MSE:
+      * 'trunc-snr': max(1, sigma_i^2) — Salimans & Ho sec. 4 (x0-MSE at
+        high noise, eps-MSE at low noise); with sigma_max ~ 12 on the QM9
+        schedule the highest-noise steps carry ~150x weight;
+      * 'eps': 1 — uniform in eps space;
+      * 'step': (sigma_j - sigma_i)^2 — each step weighted by its actual
+        contribution to the endpoint (x-space) error.
+    """
+    if weighting not in ("trunc-snr", "eps", "step"):
+        raise ValueError(f"unknown weighting {weighting!r}")
     diffusion = make_diffusion(config.model)
     sig = jnp.asarray(diffusion.sigmas, jnp.float32)  # (T,)
     start_i, mid_i, next_i = (
@@ -144,7 +155,12 @@ def make_distill_loss(model, config: Config, sampler_cfg: SamplerConfig,
         valid = batch.node_mask & batch.graph_mask[:, None]
         w_node = valid.astype(jnp.float32)
         sq = jnp.sum((eps_s - eps_target) ** 2, axis=-1)       # (B, N)
-        w = jnp.maximum(1.0, s_i**2)[:, None]                  # trunc-SNR
+        if weighting == "trunc-snr":
+            w = jnp.maximum(1.0, s_i**2)[:, None]
+        elif weighting == "step":
+            w = jnp.square(s_j - s_i)[:, None]
+        else:  # 'eps'
+            w = jnp.ones_like(s_i)[:, None]
         count = jnp.maximum(jnp.sum(w_node), 1.0)
         return jnp.sum(sq * w * w_node) / count
 
@@ -152,7 +168,8 @@ def make_distill_loss(model, config: Config, sampler_cfg: SamplerConfig,
 
 
 def make_distill_step(model, config: Config, sampler_cfg: SamplerConfig,
-                      n_student: int, donate: bool = True, jit: bool = True):
+                      n_student: int, donate: bool = True, jit: bool = True,
+                      weighting: str = "trunc-snr"):
     """Build the distillation step:
         (state, teacher_variables, batch, key) -> (state, metrics).
 
@@ -162,7 +179,8 @@ def make_distill_step(model, config: Config, sampler_cfg: SamplerConfig,
     {params, batch_stats} pytree of the stage's teacher — passed as an
     argument (not closed over) so successive stages reuse one executable.
     """
-    loss_fn = make_distill_loss(model, config, sampler_cfg, n_student)
+    loss_fn = make_distill_loss(model, config, sampler_cfg, n_student,
+                                weighting=weighting)
     tx = make_optimizer(config.train)
 
     def distill_step(state: TrainState, teacher, batch: GraphBatch, key):
@@ -192,13 +210,14 @@ def make_distill_step(model, config: Config, sampler_cfg: SamplerConfig,
 def make_chunked_distill_step(model, config: Config,
                               sampler_cfg: SamplerConfig, n_student: int,
                               chunk: int, donate: bool = True,
-                              jit: bool = True):
+                              jit: bool = True,
+                              weighting: str = "trunc-snr"):
     """K = chunk distill steps per device dispatch (lax.scan over leading-
     stacked batches) — same dispatch-latency amortization as
     train_step.make_chunked_train_step (the per-program launch through a
     remote tunnel is ~25 ms host-side, CLAUDE round-2 findings)."""
     inner = make_distill_step(model, config, sampler_cfg, n_student,
-                              jit=False)
+                              jit=False, weighting=weighting)
 
     def chunked(state: TrainState, teacher, batches: GraphBatch, key):
         keys = jax.random.split(key, chunk)
@@ -217,10 +236,12 @@ def make_chunked_distill_step(model, config: Config,
 
 
 def make_distill_eval_step(model, config: Config,
-                           sampler_cfg: SamplerConfig, n_student: int):
+                           sampler_cfg: SamplerConfig, n_student: int,
+                           weighting: str = "trunc-snr"):
     """Validation: the distill loss summed over real nodes (mirrors
     train_step.make_eval_step's sums/count contract)."""
-    loss_fn = make_distill_loss(model, config, sampler_cfg, n_student)
+    loss_fn = make_distill_loss(model, config, sampler_cfg, n_student,
+                                weighting=weighting)
 
     def eval_step(state: TrainState, teacher, batch: GraphBatch, key):
         loss = loss_fn(state.params, state.batch_stats, teacher, batch, key)

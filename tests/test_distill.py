@@ -296,3 +296,35 @@ class TestDistillCLI:
             pos = np.asarray(out.pos)
             assert np.isfinite(pos).all()
             assert not np.asarray(out.nan_flags).any()
+
+
+class TestLossWeighting:
+    def test_modes_scale_but_agree_at_sigma_le_1(self, distill_config,
+                                                 teacher):
+        """'eps' and 'trunc-snr' differ only by the max(1, sigma^2) factor;
+        'step' by (sigma_j - sigma_i)^2 — all finite and positive here."""
+        from agdiff_tpu.train.distill import make_distill_loss
+
+        model, state, batch, _ = teacher
+        cfg = SamplerConfig(sampling_type="generalized", eta=0.0,
+                            ladder="strided", w_global=0.3, clip_local=20.0)
+        tv = {"params": state.params, "batch_stats": state.batch_stats}
+        key = jax.random.PRNGKey(17)
+        vals = {}
+        for mode in ("trunc-snr", "eps", "step"):
+            fn = make_distill_loss(model, distill_config, cfg, 8,
+                                   weighting=mode)
+            vals[mode] = float(fn(state.params, state.batch_stats, tv,
+                                  batch, key))
+        assert all(np.isfinite(v) and v >= 0 for v in vals.values()), vals
+        # trunc-snr upweights high-noise steps -> never below plain eps
+        assert vals["trunc-snr"] >= vals["eps"]
+
+    def test_unknown_mode_raises(self, distill_config, teacher):
+        from agdiff_tpu.train.distill import make_distill_loss
+
+        model, _, _, _ = teacher
+        cfg = SamplerConfig(sampling_type="generalized", eta=0.0)
+        with pytest.raises(ValueError):
+            make_distill_loss(model, distill_config, cfg, 8,
+                              weighting="bogus")
