@@ -183,11 +183,15 @@ def main(argv=None):
                                      drop_last=False)
                       if val_set is not None else None)
         data = prefetch(iter(loader), size=max(2, 2 * chunk))
+        # FIXED per-stage eval key: every validation draws the same
+        # timesteps/noise, so val losses are comparable across iterations
+        # and best-checkpoint selection is not dominated by draw variance
+        # (the distill loss varies ~150x across ladder levels under the
+        # trunc-snr weighting)
+        vkey = jax.random.PRNGKey(args.seed + 7919 * n_student)
 
         def validate(it, state):
             sums = {"sum_loss": 0.0, "count": 0.0}
-            nonlocal key
-            key, vkey = jax.random.split(key)
             for k, (_, batch) in enumerate(val_loader.epoch_batches()):
                 out = eval_step(state, teacher, batch,
                                 jax.random.fold_in(vkey, k))
