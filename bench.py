@@ -25,6 +25,44 @@ import time
 BASELINE_CONF_PER_SEC = 0.5  # estimated A100 PyTorch reference (see above)
 
 
+def _wait_for_backend(max_wait_s: int = None):
+    """The remote-TPU tunnel has transient outages (RuntimeError UNAVAILABLE
+    at backend init, which jax then caches for the process). Probe device
+    init in SUBPROCESSES before this process touches jax, retrying with
+    backoff up to AGDIFF_BENCH_WAIT seconds (default 900; 0 disables) so a
+    blip doesn't turn the round's bench artifact into a failure."""
+    import os
+    import subprocess
+    import sys
+
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("AGDIFF_BENCH_WAIT", "900"))
+    if max_wait_s <= 0:
+        return
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=max(120, max_wait_s // 4),
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False  # a down tunnel usually HANGS init rather than fail
+        if ok:
+            return
+        attempt += 1
+        if time.time() >= deadline:
+            sys.stderr.write(
+                f"backend probe still failing after {attempt} attempts "
+                f"({max_wait_s}s budget); proceeding anyway\n")
+            return
+        sys.stderr.write(f"backend unavailable (attempt {attempt}); "
+                         "retrying in 30s\n")
+        time.sleep(30)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
@@ -81,6 +119,8 @@ def main():
                          "0.655 vs 0.680, paired p=0.21) on the same "
                          "checkpoint/test set (README).")
     args = ap.parse_args()
+
+    _wait_for_backend()
 
     import jax
     import numpy as np
