@@ -74,6 +74,13 @@ def main(argv=None):
                     choices=["trunc-snr", "eps", "step"],
                     help="per-step loss weight (train/distill.py "
                          "make_distill_loss docstring)")
+    ap.add_argument("--no_resume", action="store_true",
+                    help="retrain every stage from scratch even when "
+                         "<logdir>/stage{n} already holds checkpoints. By "
+                         "default completed stages (DONE.json) are skipped "
+                         "and an interrupted stage restarts from its latest "
+                         "checkpoint (the data order and noise draws restart "
+                         "from scratch; only the optimizer state resumes).")
     args = ap.parse_args(argv)
 
     import jax
@@ -84,7 +91,9 @@ def main(argv=None):
                                          ConformationDataset, prefetch)
     from agdiff_tpu.models.dualenc import get_model
     from agdiff_tpu.sampling.langevin import SamplerConfig
-    from agdiff_tpu.train.checkpoint import save_checkpoint
+    from agdiff_tpu.train.checkpoint import (latest_checkpoint,
+                                             load_best, load_checkpoint,
+                                             save_checkpoint)
     from agdiff_tpu.train.distill import (make_chunked_distill_step,
                                           make_distill_eval_step,
                                           make_distill_step)
@@ -150,9 +159,25 @@ def main(argv=None):
     # dispatch (~25 ms/array through a remote-chip tunnel, CLAUDE round-2)
     teacher = jax.device_put(teacher_vars)
     summary = []
+    resume = not args.no_resume
     for n_student in stages:
         stage_dir = os.path.join(args.logdir, f"stage{n_student}")
         os.makedirs(stage_dir, exist_ok=True)
+        done_path = os.path.join(stage_dir, "DONE.json")
+        if resume and os.path.exists(done_path):
+            # stage already finished in a previous run: its best student
+            # becomes this run's teacher, exactly as if it had just trained
+            with open(done_path) as fh:
+                info = json.load(fh)
+            best = load_best(stage_dir)
+            teacher = jax.device_put({"params": best["params"],
+                                      "batch_stats": best["batch_stats"]})
+            summary.append({"stage": n_student,
+                            "best_val": info["best_val"],
+                            "dir": stage_dir, "resumed": True})
+            logger.info("[stage %d] already complete (best val %.6f) — "
+                        "skipping", n_student, info["best_val"])
+            continue
         logger.info("=== stage: %d student steps (teacher ladder %d) ===",
                     n_student, 2 * n_student)
         # student starts as a COPY of its teacher — params AND batch_stats:
@@ -203,7 +228,28 @@ def main(argv=None):
             return avg
 
         best_val, best_params = float("inf"), None
-        t0, it = time.time(), 1
+        start_it = 1
+        if resume:
+            try:
+                ck_path, ck_it = latest_checkpoint(stage_dir)
+            except FileNotFoundError:
+                ck_path = None
+            if ck_path is not None:
+                loaded = load_checkpoint(ck_path, target=state)
+                state = TrainState(
+                    step=jnp.asarray(loaded["step"], jnp.int32),
+                    params=loaded["params"],
+                    batch_stats=loaded["batch_stats"],
+                    opt_state=loaded["opt_state"],
+                )
+                bm = load_best(stage_dir)
+                best_val = float(bm["avg_val_loss"])
+                best_params = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, bm["params"]))
+                start_it = ck_it + 1
+                logger.info("[stage %d] resuming from iter %d (best val "
+                            "%.6f)", n_student, ck_it, best_val)
+        t0, it = time.time(), start_it
         while it <= args.iters:
             k = min(chunk, args.iters - it + 1)
             group = [next(data) for _ in range(k)]
@@ -252,6 +298,9 @@ def main(argv=None):
                         else state.params)
         teacher = {"params": final_params,
                    "batch_stats": state.batch_stats}
+        with open(done_path, "w") as fh:
+            json.dump({"stage": n_student, "best_val": best_val,
+                       "iters": args.iters}, fh)
         summary.append({"stage": n_student, "best_val": best_val,
                         "dir": stage_dir})
         logger.info("[stage %d] done | best val %.6f -> %s",

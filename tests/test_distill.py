@@ -298,6 +298,52 @@ class TestDistillCLI:
             assert not np.asarray(out.nan_flags).any()
 
 
+class TestDistillResume:
+    def test_resume_skips_completed_and_recovers_interrupted(
+            self, tmp_path, distill_config, teacher):
+        """A completed stage (DONE.json) is skipped on rerun; a stage whose
+        DONE marker is missing resumes from its latest checkpoint instead of
+        retraining (the tunnel-outage recovery path)."""
+        from agdiff_tpu.cli.distill import main as distill_main
+        from agdiff_tpu.train.checkpoint import (latest_checkpoint,
+                                                 save_checkpoint)
+        from agdiff_tpu.train.optimizer import plateau_init
+
+        model, tstate, batch, mols = teacher
+        tdir = str(tmp_path / "teacher")
+        save_checkpoint(tdir, 10, distill_config, tstate,
+                        plateau_init(1e-3), plateau_init(1e-3), 1.0,
+                        best=True)
+        ddir = str(tmp_path / "distill")
+        common = [tdir, "--logdir", ddir, "--iters", "6", "--synthetic", "8",
+                  "--val_freq", "3", "--batch_size", "8", "--step_chunk",
+                  "2", "--seed", "5"]
+        distill_main(common + ["--stages", "8"])
+        done8 = os.path.join(ddir, "stage8", "DONE.json")
+        assert os.path.isfile(done8)
+        ck8, it8 = latest_checkpoint(os.path.join(ddir, "stage8"))
+        mtime8 = os.path.getmtime(os.path.join(ck8, "meta.json"))
+
+        # rerun with one more stage: stage8 must be skipped untouched,
+        # stage4 trained fresh
+        distill_main(common + ["--stages", "8,4"])
+        assert os.path.getmtime(
+            os.path.join(ck8, "meta.json")) == mtime8
+        done4 = os.path.join(ddir, "stage4", "DONE.json")
+        assert os.path.isfile(done4)
+
+        # simulate an interruption right before stage4's DONE marker was
+        # written: resume must pick up its latest checkpoint (already at
+        # --iters) and finish without retraining stage8 or stage4
+        os.remove(done4)
+        ck4, _ = latest_checkpoint(os.path.join(ddir, "stage4"))
+        mtime4 = os.path.getmtime(os.path.join(ck4, "meta.json"))
+        distill_main(common + ["--stages", "8,4"])
+        assert os.path.isfile(done4)
+        assert os.path.getmtime(os.path.join(ck4, "meta.json")) == mtime4
+        assert os.path.isfile(os.path.join(ddir, "STAGES.json"))
+
+
 class TestLossWeighting:
     def test_modes_scale_but_agree_at_sigma_le_1(self, distill_config,
                                                  teacher):
