@@ -19,25 +19,32 @@ python -m agdiff_tpu.cli.distill "$TEACHER" \
   --synthetic 2048 --synthetic_chem rich --seed 2021 \
   > "$ROOT/distill.log" 2>&1
 
-gen () {  # name ckpt n_steps
+gen () {  # name ckpt n_steps — skips arms already generated (retry-safe)
   local name=$1 ckpt=$2 n=$3
-  python -m agdiff_tpu.cli.generate "$ckpt" \
-    --synthetic 60 --synthetic_chem rich \
-    --out_dir "$ROOT/$name" --packed --num_confs 2x --w_global 0.3 \
-    --clip_local 20 --no_resume --end_idx 60 \
-    --sampling_type generalized --ladder strided --eta 0.0 --n_steps "$n" \
-    > "$ROOT/$name.log" 2>&1
-  python -m agdiff_tpu.cli.eval_covmat "$ROOT/$name/samples_all.npz" \
-    >> "$ROOT/$name.log" 2>&1
+  if [ ! -f "$ROOT/$name/samples_all.npz" ]; then
+    python -m agdiff_tpu.cli.generate "$ckpt" \
+      --synthetic 60 --synthetic_chem rich \
+      --out_dir "$ROOT/$name" --packed --num_confs 2x --w_global 0.3 \
+      --clip_local 20 --no_resume --end_idx 60 \
+      --sampling_type generalized --ladder strided --eta 0.0 --n_steps "$n" \
+      > "$ROOT/$name.log" 2>&1
+  fi
+  [ -f "$ROOT/$name/samples_all.npz" ] || return 1
+  AGDIFF_PLATFORM=cpu python -m agdiff_tpu.cli.eval_covmat \
+    "$ROOT/$name/samples_all.npz" >> "$ROOT/$name.log" 2>&1
   grep -H "MAT-R_mean" "$ROOT/$name.log" | tail -1
 }
 
+# the distill run itself must have completed every stage before sampling
+[ -f "$ROOT/distill/STAGES.json" ] || { echo REHEARSAL3M_INCOMPLETE; exit 1; }
+
+FAIL=0
 # students at their trained step counts
 for n in 64 32 16 8; do
-  gen "student_n$n" "$ROOT/distill/stage$n" "$n"
+  gen "student_n$n" "$ROOT/distill/stage$n" "$n" || FAIL=1
 done
 # undistilled controls at the aggressive step counts
 for n in 16 8; do
-  gen "teacher_e0_n$n" "$TEACHER" "$n"
+  gen "teacher_e0_n$n" "$TEACHER" "$n" || FAIL=1
 done
-echo REHEARSAL3M_DONE
+[ "$FAIL" = 0 ] && echo REHEARSAL3M_DONE || echo REHEARSAL3M_INCOMPLETE
