@@ -29,14 +29,16 @@ def _wait_for_backend(max_wait_s: int = None):
     """The remote-TPU tunnel has transient outages (RuntimeError UNAVAILABLE
     at backend init, which jax then caches for the process). Probe device
     init in SUBPROCESSES before this process touches jax, retrying with
-    backoff up to AGDIFF_BENCH_WAIT seconds (default 900; 0 disables) so a
-    blip doesn't turn the round's bench artifact into a failure."""
+    backoff up to AGDIFF_BENCH_WAIT seconds (default 3600; 0 disables) so an
+    outage doesn't turn the round's bench artifact into a failure (outages of
+    several hours were observed; the probe returns the moment the chip is
+    back, so a large budget costs nothing on a healthy backend)."""
     import os
     import subprocess
     import sys
 
     if max_wait_s is None:
-        max_wait_s = int(os.environ.get("AGDIFF_BENCH_WAIT", "900"))
+        max_wait_s = int(os.environ.get("AGDIFF_BENCH_WAIT", "3600"))
     if max_wait_s <= 0:
         return
     deadline = time.time() + max_wait_s
@@ -45,7 +47,8 @@ def _wait_for_backend(max_wait_s: int = None):
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=max(120, max_wait_s // 4),
+                capture_output=True,
+                timeout=min(300, max(120, max_wait_s // 4)),
             )
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:
