@@ -39,8 +39,17 @@ def main(argv=None):
                          "full-protocol baseline (for paired stats)")
     args = ap.parse_args(argv)
 
+    def covr_at(name, thr=1.0):
+        cov = glob.glob(os.path.join(args.root, name,
+                                     "samples_all_covmat*.npz"))
+        if not cov:
+            return None
+        d = np.load(cov[0])
+        i = int(np.argmin(np.abs(d["thresholds"] - thr)))
+        return float(d["CoverageR"][:, i].mean())
+
     runs = sorted(glob.glob(os.path.join(args.root, "*", "")))
-    print(f"{'run':24s} {'MAT-R':>7s}")
+    print(f"{'run':24s} {'MAT-R':>7s} {'COV-R@1.0':>10s}")
     rows = []
     for d in runs:
         name = os.path.basename(d.rstrip("/"))
@@ -48,7 +57,9 @@ def main(argv=None):
         matr = matr_from_log(log)
         if matr is None:
             continue
-        print(f"{name:24s} {matr:7.4f}")
+        covr = covr_at(name)
+        cov_s = f"{covr:10.4f}" if covr is not None else f"{'-':>10s}"
+        print(f"{name:24s} {matr:7.4f} {cov_s}")
         rows.append(name)
 
     if args.baseline and os.path.exists(args.baseline):
