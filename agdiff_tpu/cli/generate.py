@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--synthetic_rigid", action="store_true",
                     help="deterministic tetrahedral geometry (matches "
                          "cli.train --synthetic_rigid)")
+    ap.add_argument("--synthetic_multiref", action="store_true",
+                    help="reference conformers are distinct torsion "
+                         "conformers (GEOM-faithful COV/MAT protocol) "
+                         "instead of jitters of one structure")
     ap.add_argument("--synthetic_chem", default="tree",
                     choices=["tree", "rich"],
                     help="matches cli.train --synthetic_chem")
@@ -133,7 +137,8 @@ def main(argv=None):
             kw = dict(min_heavy=lo, max_heavy=hi)
         dataset = synthetic_dataset(
             args.synthetic, seed=7, num_conformers=3,
-            rigid=args.synthetic_rigid, chem=args.synthetic_chem, **kw
+            rigid=args.synthetic_rigid, chem=args.synthetic_chem,
+            multiref=args.synthetic_multiref, **kw
         )
     else:
         dataset = PackedConformationDataset(args.test_set).molecules

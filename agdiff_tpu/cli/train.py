@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--synthetic_heavy", type=int, default=None,
                     help="max heavy atoms of the synthetic molecules "
                          "(default QM9-like 4-9; 20 ~= Drugs-size)")
+    ap.add_argument("--synthetic_confs", type=int, default=1,
+                    help="conformers per synthetic molecule (distinct "
+                         "torsion conformers as separate datapoints, like "
+                         "GEOM's per-conformer training entries)")
     ap.add_argument("--synthetic_chem", default="tree",
                     choices=["tree", "rich"],
                     help="'rich' = rings + DOUBLE/TRIPLE/AROMATIC bonds + "
@@ -78,8 +82,19 @@ def main(argv=None):
                                  rigid=args.synthetic_rigid,
                                  chem=args.synthetic_chem, **kw)
         split = max(1, int(len(mols) * 0.9))
-        train_set = ConformationDataset(mols[:split])
-        val_set = ConformationDataset(mols[split:])
+        tr_mols, va_mols = mols[:split], mols[split:]
+        if args.synthetic_confs > 1:
+            # GEOM-style per-conformer datapoints (distinct torsion
+            # conformers of each graph); expand AFTER the molecule-level
+            # split so no graph leaks across train/val
+            from agdiff_tpu.data.synthetic import expand_conformers
+
+            tr_mols = expand_conformers(tr_mols, args.synthetic_confs,
+                                        seed=config.train.seed + 1)
+            va_mols = expand_conformers(va_mols, args.synthetic_confs,
+                                        seed=config.train.seed + 2)
+        train_set = ConformationDataset(tr_mols)
+        val_set = ConformationDataset(va_mols)
     else:
         train_set = ConformationDataset(config.dataset.train)
         val_set = (

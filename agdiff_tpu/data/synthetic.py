@@ -97,6 +97,7 @@ def random_molecule(
     num_conformers: int = 0,
     jitter: float = 0.15,
     rigid: bool = False,
+    multiref: bool = False,
 ) -> Molecule:
     """A random tree-structured molecule with approximate 3D geometry.
 
@@ -269,10 +270,15 @@ def random_molecule(
         smiles=f"SYN-{num_heavy}-{int(rng.integers(1 << 30))}",
     )
     if num_conformers > 0:
-        refs = [
-            primary + rng.normal(scale=jitter, size=(n, 3)).astype(np.float32)
-            for _ in range(num_conformers)
-        ]
+        if multiref:  # distinct torsional modes, GEOM-like
+            refs = [torsion_conformer(mol, rng, jitter=jitter)
+                    for _ in range(num_conformers)]
+        else:  # thermal jitters of the primary (byte-stable legacy mode)
+            refs = [
+                primary + rng.normal(scale=jitter,
+                                     size=(n, 3)).astype(np.float32)
+                for _ in range(num_conformers)
+            ]
         mol.pos_ref = np.concatenate(refs, axis=0)
     return mol
 
@@ -329,6 +335,7 @@ def random_rich_molecule(
     add_hydrogens: bool = True,
     num_conformers: int = 0,
     jitter: float = 0.15,
+    multiref: bool = False,
 ) -> Molecule:
     """A random molecule with rings and the full live bond-type vocabulary.
 
@@ -566,12 +573,160 @@ def random_rich_molecule(
     mol.meta["ring_sizes"] = sizes
     mol.meta["num_aromatic"] = int(sum(aromatic))
     if num_conformers > 0:
-        refs = [
-            primary + rng.normal(scale=jitter, size=(n, 3)).astype(np.float32)
-            for _ in range(num_conformers)
-        ]
+        if multiref:  # distinct torsional modes, GEOM-like
+            refs = [torsion_conformer(mol, rng, jitter=jitter)
+                    for _ in range(num_conformers)]
+        else:  # thermal jitters of the primary (byte-stable legacy mode)
+            refs = [
+                primary + rng.normal(scale=jitter,
+                                     size=(n, 3)).astype(np.float32)
+                for _ in range(num_conformers)
+            ]
         mol.pos_ref = np.concatenate(refs, axis=0)
     return mol
+
+
+def _bridges(n: int, edges: List[tuple]) -> set:
+    """Indices into `edges` of the bridge edges (Tarjan low-link, iterative).
+    In a tree every edge is a bridge; ring bonds are never bridges."""
+    adj: List[List[tuple]] = [[] for _ in range(n)]
+    for e, (i, j) in enumerate(edges):
+        adj[i].append((j, e))
+        adj[j].append((i, e))
+    disc = [-1] * n
+    low = [0] * n
+    bridges: set = set()
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        stack = [(root, -1, iter(adj[root]))]
+        while stack:
+            u, pe, it = stack[-1]
+            pushed = False
+            for v, e in it:
+                if e == pe:
+                    continue
+                if disc[v] == -1:
+                    disc[v] = low[v] = timer
+                    timer += 1
+                    stack.append((v, e, iter(adj[v])))
+                    pushed = True
+                    break
+                low[u] = min(low[u], disc[v])
+            if pushed:
+                continue
+            stack.pop()
+            if stack:
+                p = stack[-1][0]
+                low[p] = min(low[p], low[u])
+                if low[u] > disc[p]:
+                    bridges.add(pe)
+    return bridges
+
+
+def torsion_conformer(mol: Molecule, rng: np.random.Generator,
+                      jitter: float = 0.15,
+                      relax_iters: int = 12) -> np.ndarray:
+    """A genuinely DISTINCT conformer of the same molecular graph.
+
+    Every rotatable bond — an acyclic (bridge) SINGLE bond with >= 2 atoms
+    on each side — gets a fresh uniform torsion angle: the child side
+    rotates rigidly around the bond axis, which exactly preserves all bond
+    lengths, bond angles, and ring geometry while changing the dihedrals.
+    A light constrained relax (soft repulsion; bond + second-neighbor
+    distances projected back) removes steric clashes between the rotated
+    arms, then thermal jitter is added.
+
+    GEOM reference conformers are distinct torsional modes, not Gaussian
+    jitters of one structure (the reference packs per-conformer data,
+    datasets.py:1043-1061) — this is the synthetic analog, used by
+    ``synthetic_dataset(multiref=True)`` for GEOM-faithful COV/MAT eval and
+    by ``expand_conformers`` for per-conformer training data."""
+    n = mol.num_nodes
+    bi, bt = mol.bond_index, mol.bond_type
+    uniq = bi[0] < bi[1]
+    edges = list(zip(bi[0][uniq].tolist(), bi[1][uniq].tolist()))
+    etype = bt[uniq]
+    pos = mol.pos.astype(np.float64).copy()
+    adj: List[List[tuple]] = [[] for _ in range(n)]
+    for e, (i, j) in enumerate(edges):
+        adj[i].append((j, e))
+        adj[j].append((i, e))
+    for e in sorted(_bridges(n, edges)):
+        if int(etype[e]) != int(BondType.SINGLE):
+            continue
+        i, j = edges[e]
+        comp = {j}
+        work = [j]
+        while work:  # j's side with the bridge removed
+            u = work.pop()
+            for v, e2 in adj[u]:
+                if e2 != e and v not in comp:
+                    comp.add(v)
+                    work.append(v)
+        if len(comp) < 2 or n - len(comp) < 2:
+            continue  # terminal atom (e.g. H, halogen): rotation is a no-op
+        axis = pos[j] - pos[i]
+        axis /= np.linalg.norm(axis) + 1e-12
+        th = rng.uniform(0.0, 2.0 * np.pi)
+        c, s = np.cos(th), np.sin(th)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = np.eye(3) + s * K + (1.0 - c) * (K @ K)  # Rodrigues
+        idx = np.fromiter(comp, np.int64)
+        pos[idx] = pos[j] + (pos[idx] - pos[j]) @ R.T
+    # declash: bonds + angle (second-neighbor) pairs are torsion-invariant,
+    # so constraining them to their current distances preserves the local
+    # geometry (incl. rings) while the soft repulsion separates clashed arms
+    constraints = [(i, j, float(np.linalg.norm(pos[i] - pos[j])))
+                   for i, j in edges]
+    seen = {(i, j) for i, j in edges}
+    for b in range(n):
+        nb = [v for v, _ in adj[b]]
+        for x in range(len(nb)):
+            for y in range(x + 1, len(nb)):
+                a, c2 = min(nb[x], nb[y]), max(nb[x], nb[y])
+                if (a, c2) not in seen:
+                    seen.add((a, c2))
+                    constraints.append(
+                        (a, c2, float(np.linalg.norm(pos[a] - pos[c2]))))
+    exclude = np.zeros((n, n), bool)
+    for i, j, _ in constraints:
+        exclude[i, j] = exclude[j, i] = True
+    pos = _relax(pos, constraints, exclude, iters=relax_iters,
+                 step=0.03, repulse=1.4, polish=constraints[:len(edges)])
+    out = pos.astype(np.float32)
+    if jitter:
+        out = out + rng.normal(scale=jitter, size=out.shape).astype(
+            np.float32)
+    return out - out.mean(0, keepdims=True)
+
+
+def expand_conformers(mols: List[Molecule], num_conformers: int,
+                      seed: int = 0, jitter: float = 0.0) -> List[Molecule]:
+    """GEOM-style training expansion: each molecule contributes
+    `num_conformers` datapoints — its primary geometry plus distinct torsion
+    conformers of the same graph (the reference trains on per-conformer
+    entries, datasets.py ConformationDataset over packed pickles). Conformers
+    share the graph arrays and smiles, so PackedConformationDataset re-packs
+    them and molecule-level train/val splits stay leak-free when applied
+    BEFORE expansion."""
+    rng = np.random.default_rng(seed)
+    out: List[Molecule] = []
+    for m in mols:
+        out.append(m)
+        for _ in range(max(0, num_conformers - 1)):
+            out.append(Molecule(
+                atom_type=m.atom_type, pos=torsion_conformer(
+                    m, rng, jitter=jitter),
+                bond_index=m.bond_index, bond_type=m.bond_type,
+                smiles=m.smiles, meta=dict(m.meta),
+            ))
+    return out
 
 
 def synthetic_dataset(
@@ -582,10 +737,15 @@ def synthetic_dataset(
     num_conformers: int = 0,
     rigid: bool = False,
     chem: str = "tree",
+    multiref: bool = False,
 ) -> List[Molecule]:
     """chem='tree' (default): the byte-stable single-bond tree generator;
     chem='rich': rings + DOUBLE/TRIPLE/AROMATIC bonds + S/Cl heteroatoms
-    (GEOM-like structural diversity). rigid applies to 'tree' only."""
+    (GEOM-like structural diversity). rigid applies to 'tree' only.
+    multiref: reference conformers are distinct torsion conformers
+    (torsion_conformer) instead of jitters of the primary — the GEOM-
+    faithful COV/MAT eval protocol; default off for byte-stability of the
+    legacy arms."""
     if chem not in ("tree", "rich"):
         raise ValueError(f"unknown synthetic chemistry: {chem!r}")
     if chem == "rich" and rigid:
@@ -598,6 +758,7 @@ def synthetic_dataset(
             rng,
             num_heavy=int(rng.integers(min_heavy, max_heavy + 1)),
             num_conformers=num_conformers,
+            multiref=multiref,
             **kw,
         )
         for _ in range(num_molecules)

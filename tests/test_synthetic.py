@@ -122,3 +122,74 @@ def test_rich_deterministic_and_validated():
         synthetic_dataset(1, chem="nope")
     with pytest.raises(ValueError):
         synthetic_dataset(1, chem="rich", rigid=True)
+
+
+@pytest.mark.parametrize("chem", ["tree", "rich"])
+def test_torsion_conformer_preserves_local_geometry(chem):
+    """Torsion conformers keep every bond length, angle-pair distance, and
+    ring's internal geometry exactly (rotations are rigid per side; the
+    declash relax projects bonds/angles back), while genuinely changing
+    the shape (dihedrals)."""
+    from agdiff_tpu.data.synthetic import _bridges, torsion_conformer
+
+    mols = synthetic_dataset(6, seed=3, chem=chem)
+    any_diverse = False
+    for m in mols:
+        rng = np.random.default_rng(0)
+        r1 = torsion_conformer(m, rng, jitter=0.0)
+        r2 = torsion_conformer(m, rng, jitter=0.0)
+        bi = m.bond_index
+        u = bi[0] < bi[1]
+        i, j = bi[0][u], bi[1][u]
+        d0 = np.linalg.norm(m.pos[i] - m.pos[j], axis=-1)
+        for r in (r1, r2):
+            assert r.shape == m.pos.shape
+            assert np.isfinite(r).all()
+            dr = np.linalg.norm(r[i] - r[j], axis=-1)
+            np.testing.assert_allclose(dr, d0, atol=5e-3)
+            # centered output
+            np.testing.assert_allclose(r.mean(0), 0.0, atol=1e-4)
+        # intra-ring pairwise distances rigid (rings are never rotated)
+        edges = list(zip(bi[0][u].tolist(), bi[1][u].tolist()))
+        br = _bridges(m.num_nodes, edges)
+        ring_atoms = sorted({a for e, (x, y) in enumerate(edges)
+                             if e not in br for a in (x, y)})
+        if len(ring_atoms) >= 3:
+            ra = np.array(ring_atoms)
+            dn = np.linalg.norm(r1[ra][:, None] - r1[ra][None], axis=-1)
+            do = np.linalg.norm(m.pos[ra][:, None] - m.pos[ra][None],
+                                axis=-1)
+            np.testing.assert_allclose(dn, do, atol=2e-2)
+        # two draws of a molecule with a rotatable bond differ substantially
+        rmsd = float(np.sqrt(((r1 - r2) ** 2).sum(-1).mean()))
+        if rmsd > 0.3:
+            any_diverse = True
+    assert any_diverse
+
+
+def test_multiref_dataset_and_expansion():
+    from agdiff_tpu.data.synthetic import expand_conformers
+
+    mols = synthetic_dataset(4, seed=5, num_conformers=3, chem="rich",
+                             multiref=True)
+    for m in mols:
+        refs = m.pos_ref.reshape(-1, m.num_nodes, 3)
+        assert refs.shape[0] == 3
+        # distinct torsional modes, not jitters: pairwise RMSD across refs
+        # is far above the 0.15 thermal jitter for at least one pair
+        d01 = np.sqrt(((refs[0] - refs[1]) ** 2).sum(-1).mean())
+        d02 = np.sqrt(((refs[0] - refs[2]) ** 2).sum(-1).mean())
+        assert np.isfinite([d01, d02]).all()
+    # legacy default (multiref off) is byte-stable and jitter-like
+    a = synthetic_dataset(3, seed=11, num_conformers=2)
+    b = synthetic_dataset(3, seed=11, num_conformers=2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.pos_ref, y.pos_ref)
+
+    ex = expand_conformers(mols, 3, seed=9)
+    assert len(ex) == 3 * len(mols)
+    assert ex[0] is mols[0]
+    assert np.array_equal(ex[1].atom_type, mols[0].atom_type)
+    assert np.array_equal(ex[1].bond_index, mols[0].bond_index)
+    assert ex[1].smiles == mols[0].smiles
+    assert not np.array_equal(ex[1].pos, mols[0].pos)
