@@ -60,6 +60,10 @@ def main(argv=None):
     ap.add_argument("--synthetic_heavy", type=int, default=None)
     ap.add_argument("--synthetic_chem", default="tree",
                     choices=["tree", "rich"])
+    ap.add_argument("--synthetic_confs", type=int, default=1,
+                    help="conformers per synthetic molecule (distinct "
+                         "torsion conformers as separate datapoints, "
+                         "matching cli.train)")
     ap.add_argument("--train_set", default=None,
                     help="npz dataset (instead of --synthetic)")
     ap.add_argument("--seed", type=int, default=2021)
@@ -131,8 +135,16 @@ def main(argv=None):
                                  rigid=args.synthetic_rigid,
                                  chem=args.synthetic_chem, **kw)
         split = max(1, int(len(mols) * 0.9))
-        train_set = ConformationDataset(mols[:split])
-        val_set = ConformationDataset(mols[split:])
+        tr_mols, va_mols = mols[:split], mols[split:]
+        if args.synthetic_confs > 1:  # molecule-level split BEFORE expansion
+            from agdiff_tpu.data.synthetic import expand_conformers
+
+            tr_mols = expand_conformers(tr_mols, args.synthetic_confs,
+                                        seed=args.seed + 1)
+            va_mols = expand_conformers(va_mols, args.synthetic_confs,
+                                        seed=args.seed + 2)
+        train_set = ConformationDataset(tr_mols)
+        val_set = ConformationDataset(va_mols)
     else:
         train_set = ConformationDataset(args.train_set)
         val_set = None
