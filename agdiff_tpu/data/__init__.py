@@ -5,4 +5,6 @@ from agdiff_tpu.data.dataset import (  # noqa: F401
     ConformationDataset,
     PackedConformationDataset,
 )
-from agdiff_tpu.data.synthetic import random_molecule, synthetic_dataset  # noqa: F401
+from agdiff_tpu.data.synthetic import (expand_conformers,  # noqa: F401
+                                       random_molecule, synthetic_dataset,
+                                       torsion_conformer)
