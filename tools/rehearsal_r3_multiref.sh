@@ -37,7 +37,9 @@ FAIL=0
 geneval armG_multiref "$ARMG" || FAIL=1
 
 # (2) arm N: identical recipe to arm G but per-conformer training entries
-if ! ls "$ROOT"/logs/cfg_*/best_model/POINTER >/dev/null 2>&1; then
+# (TRAIN_DONE sentinel + resume so an interrupted train is finished, not
+# silently evaluated undertrained)
+if [ ! -f "$ROOT/TRAIN_DONE" ]; then
   ROOT="$ROOT" python - <<'PYEOF'
 import os
 import yaml
@@ -45,10 +47,21 @@ cfg = yaml.safe_load(open('/root/repo/configs/qm9_fast.yml'))
 cfg['train']['max_iters'] = 45000
 yaml.safe_dump(cfg, open(os.environ['ROOT'] + '/cfg.yml', 'w'))
 PYEOF
-  python -m agdiff_tpu.cli.train "$ROOT/cfg.yml" \
-    --synthetic 2048 --synthetic_chem rich --synthetic_confs 5 \
-    --logdir "$ROOT/logs" > "$ROOT/train.log" 2>&1
+  LOGDIR=$(ls -d "$ROOT"/logs/cfg_* 2>/dev/null | tail -1)
+  if [ -n "$LOGDIR" ]; then
+    # synthetic flags are CLI-side, not in the config snapshot: re-pass
+    # them on resume (the seeded generator reproduces the same dataset)
+    python -m agdiff_tpu.cli.train "$LOGDIR" \
+      --synthetic 2048 --synthetic_chem rich --synthetic_confs 5 \
+      >> "$ROOT/train.log" 2>&1 && touch "$ROOT/TRAIN_DONE"
+  else
+    python -m agdiff_tpu.cli.train "$ROOT/cfg.yml" \
+      --synthetic 2048 --synthetic_chem rich --synthetic_confs 5 \
+      --logdir "$ROOT/logs" > "$ROOT/train.log" 2>&1 \
+      && touch "$ROOT/TRAIN_DONE"
+  fi
 fi
+[ -f "$ROOT/TRAIN_DONE" ] || { echo REHEARSAL3N_INCOMPLETE; exit 1; }
 LOGDIR=$(ls -d "$ROOT"/logs/cfg_* | tail -1)
 BEST=$(cat "$LOGDIR/best_model/POINTER")
 geneval armN "$BEST" || FAIL=1
