@@ -67,6 +67,12 @@ def _wait_for_backend(max_wait_s: int = None):
 
 
 def main():
+    # honor AGDIFF_PLATFORM=cpu like the CLIs (the image's sitecustomize
+    # otherwise forces the remote axon backend); also enables the
+    # persistent compilation cache
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
                     help="conformers generated simultaneously per chip")
@@ -121,6 +127,14 @@ def main():
                          "parity with the 5000-step ld protocol (MAT-R "
                          "0.655 vs 0.680, paired p=0.21) on the same "
                          "checkpoint/test set (README).")
+    ap.add_argument("--distilled-steps", type=int, default=16,
+                    help="also time the progressive-distillation student "
+                         "protocol (DDIM eta=0, strided) at this many steps "
+                         "and report it in detail.distilled (0 = skip). "
+                         "Quality evidence: arm M — the distilled n16 "
+                         "student is statistical parity with the 5000-step "
+                         "protocol (MAT-R 0.730 vs 0.713, paired p=0.53); "
+                         "n64 beats it (0.650, p=0.006).")
     args = ap.parse_args()
 
     _wait_for_backend()
@@ -210,42 +224,58 @@ def main():
     conf_per_sec = args.batch / t_protocol
     nan_frac = float(np.asarray(out.nan_flags).mean())
 
-    # the quality-validated few-step DDIM protocol (an extension the
-    # reference cannot run: its sampling_type flag is dead) — measured
-    # end-to-end, no extrapolation
-    ddim = None
-    if args.ddim_steps:
+    # few-step protocols (extensions the reference cannot run: its
+    # sampling_type flag is dead) — measured end-to-end, no extrapolation
+    def time_few_step(n_steps, eta, key0, quality_evidence):
         import dataclasses
 
         dcfg = dataclasses.replace(
-            scfg, n_steps=args.ddim_steps, ladder="strided",
-            sampling_type="generalized", eta=1.0, unroll=1,
+            scfg, n_steps=n_steps, ladder="strided",
+            sampling_type="generalized", eta=eta, unroll=1,
         )
         dsampler = make_sampler(dcfg)
         t0 = time.perf_counter()
-        dout = dsampler(variables, batch, pos_init, jax.random.PRNGKey(9))
+        dout = dsampler(variables, batch, pos_init, jax.random.PRNGKey(key0))
         _ = jax.device_get(dout.pos)
         d_compile = time.perf_counter() - t0
         dtimes = []
         for k in range(3):
             t0 = time.perf_counter()
             dout = dsampler(variables, batch, pos_init,
-                            jax.random.PRNGKey(10 + k))
+                            jax.random.PRNGKey(key0 + 1 + k))
             _ = jax.device_get(dout.pos)
             dtimes.append(time.perf_counter() - t0)
         dt = min(dtimes)
-        ddim = {
-            "steps": args.ddim_steps,
+        return {
+            "steps": n_steps,
             "conf_per_sec": round(args.batch / dt, 1),
-            "ms_per_step": round(1000.0 * dt / args.ddim_steps, 3),
+            "ms_per_step": round(1000.0 * dt / n_steps, 3),
             "compile_plus_first_s": round(d_compile, 1),
             "vs_baseline": round(args.batch / dt / BASELINE_CONF_PER_SEC, 1),
-            "quality_evidence": "DDIM-100 MAT-R 0.655 vs ld-5000's 0.680 "
-                                "(arm G ckpt, 60 held-out rich molecules): "
-                                "statistical parity at 50x fewer steps "
-                                "(paired delta -0.025+-0.020, p=0.21; "
-                                "tools/ddim_ladder.sh, README)",
+            "quality_evidence": quality_evidence,
         }
+
+    ddim = None
+    if args.ddim_steps:
+        ddim = time_few_step(
+            args.ddim_steps, 1.0, 9,
+            "DDIM-100 MAT-R 0.655 vs ld-5000's 0.680 "
+            "(arm G ckpt, 60 held-out rich molecules): "
+            "statistical parity at 50x fewer steps "
+            "(paired delta -0.025+-0.020, p=0.21; "
+            "tools/ddim_ladder.sh, README)")
+    # the progressive-distillation student protocol (train/distill.py):
+    # same per-step compute as DDIM eta=0 — timing is weight-independent,
+    # quality comes from the arm-M distilled checkpoints
+    distilled = None
+    if args.distilled_steps:
+        distilled = time_few_step(
+            args.distilled_steps, 0.0, 17,
+            "distilled student n16 MAT-R 0.730 vs the teacher's 5000-step "
+            "protocol 0.713 (paired p=0.53, statistical parity at 312x "
+            "fewer steps) and vs undistilled eta0-n16 0.826 (p=1e-4); "
+            "student n64 BEATS the 5000-step protocol (0.650 vs 0.713, "
+            "p=0.006); arm M, tools/rehearsal_r3_distill.sh, README")
 
     print(json.dumps({
         "metric": "conformers_per_sec_per_chip",
@@ -266,6 +296,7 @@ def main():
             "nan_frac": nan_frac,
             "baseline_est_conf_per_sec": BASELINE_CONF_PER_SEC,
             "ddim": ddim,
+            "distilled": distilled,
         },
     }))
 
