@@ -30,6 +30,36 @@ from agdiff_tpu.models.schedules import Diffusion
 from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
 
 
+def _cpu_device():
+    """The local CPU device, for eager PRNG-key arithmetic. On the remote
+    TPU backend every eager op (fold_in / split / normal) is a ~25 ms
+    host-side dispatch through the tunnel; key math is a handful of uint32
+    ops and belongs on the host. Returns None when no CPU backend exists
+    (then key math runs wherever the default device is)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+_CPU = None
+_CPU_RESOLVED = False
+
+
+def _host_keys(fn):
+    """Run eager PRNG-key computation `fn` on the CPU backend and return
+    host numpy (numpy inputs are accepted by both jit dispatch and AOT
+    executables, and ride along with the single ladder transfer)."""
+    global _CPU, _CPU_RESOLVED
+    if not _CPU_RESOLVED:
+        _CPU = _cpu_device()
+        _CPU_RESOLVED = True
+    if _CPU is None:
+        return jax.tree_util.tree_map(np.asarray, fn())
+    with jax.default_device(_CPU):
+        return jax.tree_util.tree_map(np.asarray, fn())
+
+
 class _SamplerHandle:
     """Uniform (variables, batch, pos_init, key) sampler wrapper.
 
@@ -37,28 +67,95 @@ class _SamplerHandle:
     warm() AOT-compiles (jit.lower().compile()) an executable keyed by the
     batch's position shape and __call__ prefers it — jit's own dispatch
     cache does not learn from manual lower/compile, so the executables are
-    kept here; batch sizes never warmed fall back to the plain jit path."""
+    kept here; batch sizes never warmed fall back to the plain jit path.
 
-    def __init__(self, fn, fast: bool):
+    fused=True (single-device runners) additionally moves the pos_init
+    noise INSIDE the compiled program: sample() takes init key(s) instead
+    of a pre-generated (B, N, 3) noise tensor, so one request costs ONE
+    program dispatch + ONE result fetch instead of separate normal() /
+    ladder / fetch round-trips (each ~25 ms host-side through the remote
+    tunnel). jax.random.normal(key, shape) inside jit is bit-identical to
+    the eager call, so results are unchanged. Mesh runners keep the
+    unfused path (the fused wrapper would drop the inner jit's
+    in_shardings)."""
+
+    def __init__(self, fn, fast: bool, fused: bool = False,
+                 per_slot_warm: bool = False):
         self.fn = fn
         self.fast = fast
+        self.fused = fused
+        # which init-key layout warm() pre-compiles: the base runner draws
+        # one whole-batch noise tensor (False), the packed runner one draw
+        # per slot (True)
+        self._per_slot_warm = per_slot_warm
         self.compiled: Dict[tuple, object] = {}
+        self._fused_fns: Dict[bool, object] = {}
 
     def _args(self, variables, batch, pos_init, key):
         if self.fast:
             return (batch, pos_init, key)
         return (variables, batch, pos_init, key)
 
+    def _fused_fn(self, per_slot: bool):
+        fn = self._fused_fns.get(per_slot)
+        if fn is None:
+            base = self.fn
+
+            def init_noise(keys, shape):
+                if per_slot:  # (B, 2) keys -> one (N, 3) draw per slot
+                    return jax.vmap(
+                        lambda k: jax.random.normal(k, shape[1:]))(keys)
+                return jax.random.normal(keys, shape)
+
+            if self.fast:
+                def fused(batch, init_keys, run_key):
+                    return base(batch,
+                                init_noise(init_keys, batch.pos.shape),
+                                run_key)
+            else:
+                def fused(variables, batch, init_keys, run_key):
+                    return base(variables, batch,
+                                init_noise(init_keys, batch.pos.shape),
+                                run_key)
+            fn = jax.jit(fused)
+            self._fused_fns[per_slot] = fn
+        return fn
+
     def warm(self, variables, batch, pos_abs, key) -> bool:
         sig = tuple(batch.pos.shape)
-        if sig not in self.compiled and hasattr(self.fn, "lower"):
+        if self.fused:
+            per_slot = self._per_slot_warm
+            fsig = sig + (per_slot,)
+            if fsig in self.compiled:
+                return False
+            keys_abs = jax.ShapeDtypeStruct(
+                (batch.pos.shape[0], 2) if per_slot else (2,), jnp.uint32)
+            self.compiled[fsig] = self._fused_fn(per_slot).lower(
+                *self._args(variables, batch, keys_abs, key)).compile()
+            return True
+        if sig in self.compiled:
+            return False
+        if hasattr(self.fn, "lower"):
             self.compiled[sig] = self.fn.lower(
                 *self._args(variables, batch, pos_abs, key)).compile()
             return True
         return False
 
+    def sample(self, variables, batch, init_keys, run_key):
+        """Fused-init dispatch: init_keys is one (2,) key (whole-batch
+        noise draw, base runner) or a (B, 2) stack (per-slot draws, packed
+        runner). Falls back to jit when the shape was never warmed."""
+        per_slot = np.asarray(init_keys).ndim == 2
+        ex = self.compiled.get(tuple(batch.pos.shape) + (per_slot,))
+        fn = self._fused_fn(per_slot) if ex is None else ex
+        return fn(*self._args(variables, batch, init_keys, run_key))
+
     def __call__(self, variables, batch, pos_init, key):
         ex = self.compiled.get(tuple(batch.pos.shape))
+        # a fused-warmed executable expects init KEYS, not a noise tensor —
+        # only a non-fused executable can serve this legacy entry point
+        if self.fused:
+            ex = None
         fn = self.fn if ex is None else ex
         return fn(*self._args(variables, batch, pos_init, key))
 
@@ -99,6 +196,9 @@ class GenerationRunner:
     # one repeated molecule per chunk in this runner -> shared pair lists;
     # PackedGenerationRunner mixes molecules and overrides this
     _tight_shared = True
+    # init-noise layout for the fused-init dispatch path: this runner draws
+    # one whole-batch tensor per chunk; the packed runner draws per slot
+    _per_slot_init = False
 
     def _engine_for(self, bucket: int) -> Optional[str]:
         """Effective fast-path engine. With no explicit choice, large
@@ -130,7 +230,9 @@ class GenerationRunner:
                                   and self._tight_shared),
                     mesh=self.mesh,
                 )
-                self._samplers[key] = _SamplerHandle(fast, fast=True)
+                self._samplers[key] = _SamplerHandle(
+                    fast, fast=True, fused=self.mesh is None,
+                    per_slot_warm=self._per_slot_init)
             elif self.mesh is not None:
                 from agdiff_tpu.parallel.data_parallel import make_parallel_sampler
 
@@ -143,7 +245,8 @@ class GenerationRunner:
             else:
                 self._samplers[key] = _SamplerHandle(
                     build_sampler(self.model, self.diffusion, cfg),
-                    fast=False,
+                    fast=False, fused=True,
+                    per_slot_warm=self._per_slot_init,
                 )
         return self._samplers[key]
 
@@ -238,41 +341,53 @@ class GenerationRunner:
         n = mol.num_nodes
         out: List[np.ndarray] = []
         remaining = num_samples
-        chunk_idx = 0
         while remaining > 0:
-            key, init_key, run_key = jax.random.split(key, 3)
+            key, init_key, run_key = _host_keys(
+                lambda: jax.random.split(key, 3))
             count = min(remaining, self.chunk_size)
             bsz = self._batch_size_for(count)
             batch = pad_molecules([mol] * bsz, bucket, batch_size=bsz)
+            engine = self._engine_for(bucket)
+            capacity = self._capacity_for(mol, engine)
+            sampler = self._sampler(bucket, retry=False, capacity=capacity,
+                                    engine=engine)
             if self.mesh is not None:
                 from agdiff_tpu.parallel.data_parallel import shard_graph_batch
 
                 batch = shard_graph_batch(batch, self.mesh)
-            pos_init = jax.random.normal(init_key, batch.pos.shape)
-            engine = self._engine_for(bucket)
-            capacity = self._capacity_for(mol, engine)
-            result = self._sampler(bucket, retry=False, capacity=capacity,
-                                   engine=engine)(
-                self.variables, batch, pos_init, run_key
-            )
-            pos = np.asarray(result.pos)
-            flags = np.asarray(result.nan_flags)
+            if sampler.fused:
+                result = sampler.sample(self.variables, batch, init_key,
+                                        run_key)
+            else:
+                pos_init = jax.random.normal(
+                    jnp.asarray(init_key), batch.pos.shape)
+                result = sampler(self.variables, batch, pos_init, run_key)
+            pos, flags = jax.device_get((result.pos, result.nan_flags))
+            pos = np.asarray(pos)
+            flags = np.asarray(flags)
             if flags.any():
                 if self.logger:
                     self.logger.warning(
                         "NaN in %d/%d samples; retrying with clip_local",
                         int(flags.sum()), len(flags),
                     )
-                key, retry_key = jax.random.split(key)
-                retry = self._sampler(bucket, retry=True, capacity=capacity,
-                                      engine=engine)(
-                    self.variables, batch, pos_init, retry_key
-                )
-                retry_pos = np.asarray(retry.pos)
-                pos = np.where(flags[:, None, None], retry_pos, pos)
+                key, retry_key = _host_keys(lambda: jax.random.split(key))
+                retry_sampler = self._sampler(bucket, retry=True,
+                                              capacity=capacity,
+                                              engine=engine)
+                if retry_sampler.fused:
+                    # same init_key -> the retry regenerates the identical
+                    # pos_init inside its program
+                    retry = retry_sampler.sample(self.variables, batch,
+                                                 init_key, retry_key)
+                else:
+                    retry = retry_sampler(self.variables, batch, pos_init,
+                                          retry_key)
+                retry_pos, = jax.device_get((retry.pos,))
+                pos = np.where(flags[:, None, None], np.asarray(retry_pos),
+                               pos)
             out.append(pos[:count, :n])
             remaining -= count
-            chunk_idx += 1
         return np.concatenate(out, axis=0)
 
     def run(
@@ -284,38 +399,46 @@ class GenerationRunner:
         start_idx: int = 0,
         end_idx: Optional[int] = None,
         resume: bool = True,
+        save: bool = True,
     ) -> List[Molecule]:
         """Generate for dataset[start_idx:end_idx]; saves incrementally as
         <out_dir>/samples_<i>.npz and a final samples_all.npz (the reference
-        writes samples_%d.pkl / samples_all.pkl, test.py:173-195)."""
-        os.makedirs(out_dir, exist_ok=True)
+        writes samples_%d.pkl / samples_all.pkl, test.py:173-195).
+        save=False skips every disk write (in-memory serving path: results
+        carry pos_gen in meta; resume has nothing to scan)."""
+        if save:
+            os.makedirs(out_dir, exist_ok=True)
         end_idx = len(dataset) if end_idx is None else min(end_idx, len(dataset))
         results = []
         for i in range(start_idx, end_idx):
             path = os.path.join(out_dir, f"samples_{i}.npz")
             mol = dataset[i]
-            if resume and os.path.exists(path):
+            if save and resume and os.path.exists(path):
                 results.append(load_samples(path)[0])
                 continue
             ns = self.num_samples_for(mol, num_confs)
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            key = _host_keys(
+                lambda: jax.random.fold_in(jax.random.PRNGKey(seed), i))
             pos_gen = self.generate_molecule(mol, ns, key)
             packed = replace(mol, meta={**mol.meta, "pos_gen": pos_gen})
-            # meta holds pos_gen as a plain array; persist via arrays
-            save_mol = Molecule(
-                atom_type=mol.atom_type, pos=mol.pos,
-                bond_index=mol.bond_index, bond_type=mol.bond_type,
-                pos_ref=mol.pos_ref, smiles=mol.smiles,
-                meta={**mol.meta, "__pos_gen_shape__": list(pos_gen.shape)},
-            )
-            _save_with_gen(path, save_mol, pos_gen)
+            if save:
+                # meta holds pos_gen as a plain array; persist via arrays
+                save_mol = Molecule(
+                    atom_type=mol.atom_type, pos=mol.pos,
+                    bond_index=mol.bond_index, bond_type=mol.bond_type,
+                    pos_ref=mol.pos_ref, smiles=mol.smiles,
+                    meta={**mol.meta,
+                          "__pos_gen_shape__": list(pos_gen.shape)},
+                )
+                _save_with_gen(path, save_mol, pos_gen)
             if self.logger:
                 self.logger.info(
                     "molecule %d: %d samples generated (%d atoms)",
                     i, ns, mol.num_nodes,
                 )
             results.append(packed)
-        _save_all(os.path.join(out_dir, "samples_all.npz"), results)
+        if save:
+            _save_all(os.path.join(out_dir, "samples_all.npz"), results)
         return results
 
 
@@ -383,17 +506,21 @@ class PackedGenerationRunner(GenerationRunner):
 
     # size-homogeneous grouping (run()) makes shared pair lists valid
     _tight_shared = True
+    # fused-init dispatch draws one noise tensor PER SLOT (each sample has
+    # its own PRNG stream keyed by molecule index)
+    _per_slot_init = True
 
     def run(self, dataset, out_dir, seed=0, num_confs="2x", start_idx=0,
-            end_idx=None, resume=True):
-        os.makedirs(out_dir, exist_ok=True)
+            end_idx=None, resume=True, save=True):
+        if save:
+            os.makedirs(out_dir, exist_ok=True)
         end_idx = len(dataset) if end_idx is None else min(end_idx, len(dataset))
         todo = []   # (dataset_idx, mol, num_samples)
         results: Dict[int, Molecule] = {}
         for i in range(start_idx, end_idx):
             path = os.path.join(out_dir, f"samples_{i}.npz")
             mol = dataset[i]
-            if resume and os.path.exists(path):
+            if save and resume and os.path.exists(path):
                 results[i] = load_samples(path)[0]
                 continue
             todo.append((i, mol, self.num_samples_for(mol, num_confs)))
@@ -428,52 +555,81 @@ class PackedGenerationRunner(GenerationRunner):
                 batch = pad_molecules(
                     mols + [mols[-1]] * pad_count, bucket, batch_size=bsz,
                 )
-                # per-slot init noise keyed by (seed, dataset_idx, sample_idx)
-                keys = jnp.stack([
-                    jax.random.fold_in(
-                        jax.random.fold_in(jax.random.PRNGKey(seed), i), k
-                    )
-                    for i, _, k in chunk
-                ] + [jax.random.PRNGKey(0)] * pad_count)
-                pos_init = jax.vmap(
-                    lambda kk: jax.random.normal(
-                        kk, (batch.max_nodes, 3))
-                )(keys)
-                run_key = jax.random.fold_in(
-                    jax.random.PRNGKey(seed ^ 0x5EED), chunk_no)
+                # per-slot init noise keyed by (seed, dataset_idx,
+                # sample_idx); key math on the host CPU backend (one
+                # vectorized op, not B remote dispatches)
+                idx = np.array([i for i, _, _ in chunk]
+                               + [0] * pad_count, np.uint32)
+                sam = np.array([k for _, _, k in chunk]
+                               + [0] * pad_count, np.uint32)
+                real = np.array([True] * len(chunk) + [False] * pad_count)
+
+                def _chunk_keys():
+                    base = jax.vmap(
+                        lambda i_, k_: jax.random.fold_in(
+                            jax.random.fold_in(
+                                jax.random.PRNGKey(seed), i_), k_)
+                    )(jnp.asarray(idx), jnp.asarray(sam))
+                    pad_key = jnp.broadcast_to(jax.random.PRNGKey(0),
+                                               base.shape)
+                    keys = jnp.where(real[:, None], base, pad_key)
+                    run_key = jax.random.fold_in(
+                        jax.random.PRNGKey(seed ^ 0x5EED), chunk_no)
+                    return keys, run_key
+
+                keys, run_key = _host_keys(_chunk_keys)
                 chunk_no += 1
-                result = self._sampler(bucket, retry=False,
-                                       capacity=capacity, engine=engine)(
-                    self.variables, batch, pos_init, run_key
-                )
-                pos = np.asarray(result.pos)
-                flags = np.asarray(result.nan_flags)
+                sampler = self._sampler(bucket, retry=False,
+                                        capacity=capacity, engine=engine)
+                if sampler.fused:
+                    result = sampler.sample(self.variables, batch, keys,
+                                            run_key)
+                else:
+                    pos_init = jax.vmap(
+                        lambda kk: jax.random.normal(
+                            kk, (batch.max_nodes, 3))
+                    )(jnp.asarray(keys))
+                    result = sampler(self.variables, batch, pos_init,
+                                     run_key)
+                pos, flags = jax.device_get((result.pos, result.nan_flags))
+                pos = np.asarray(pos)
+                flags = np.asarray(flags)
                 if flags.any():
-                    retry = self._sampler(bucket, retry=True,
-                                          capacity=capacity, engine=engine)(
-                        self.variables, batch, pos_init,
-                        jax.random.fold_in(run_key, 1),
-                    )
+                    retry_key = _host_keys(
+                        lambda: jax.random.fold_in(jnp.asarray(run_key), 1))
+                    retry_sampler = self._sampler(bucket, retry=True,
+                                                  capacity=capacity,
+                                                  engine=engine)
+                    if retry_sampler.fused:
+                        retry = retry_sampler.sample(self.variables, batch,
+                                                     keys, retry_key)
+                    else:
+                        retry = retry_sampler(self.variables, batch,
+                                              pos_init, retry_key)
+                    retry_pos, = jax.device_get((retry.pos,))
                     pos = np.where(flags[:, None, None],
-                                   np.asarray(retry.pos), pos)
+                                   np.asarray(retry_pos), pos)
                 for slot, (i, mol, k) in enumerate(chunk):
                     collected[i].append(pos[slot, : mol.num_nodes])
 
         for i, mol, ns in todo:
             pos_gen = np.stack(collected[i], axis=0)
             packed = replace(mol, meta={**mol.meta, "pos_gen": pos_gen})
-            _save_with_gen(
-                os.path.join(out_dir, f"samples_{i}.npz"),
-                Molecule(atom_type=mol.atom_type, pos=mol.pos,
-                         bond_index=mol.bond_index, bond_type=mol.bond_type,
-                         pos_ref=mol.pos_ref, smiles=mol.smiles,
-                         meta=dict(mol.meta)),
-                pos_gen,
-            )
+            if save:
+                _save_with_gen(
+                    os.path.join(out_dir, f"samples_{i}.npz"),
+                    Molecule(atom_type=mol.atom_type, pos=mol.pos,
+                             bond_index=mol.bond_index,
+                             bond_type=mol.bond_type,
+                             pos_ref=mol.pos_ref, smiles=mol.smiles,
+                             meta=dict(mol.meta)),
+                    pos_gen,
+                )
             results[i] = packed
             if self.logger:
                 self.logger.info("molecule %d: %d samples (packed batches)",
                                  i, ns)
         ordered = [results[i] for i in sorted(results)]
-        _save_all(os.path.join(out_dir, "samples_all.npz"), ordered)
+        if save:
+            _save_all(os.path.join(out_dir, "samples_all.npz"), ordered)
         return ordered

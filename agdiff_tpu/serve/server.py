@@ -158,9 +158,17 @@ class GenerationService:
         raise ValueError("generate needs 'test_set' or 'synthetic'")
 
     def _generate(self, request: dict) -> dict:
+        """save=false keeps the request entirely in memory (no npz writes;
+        latency path for interactive serving); return_pos=true inlines the
+        generated conformers in the reply as nested lists
+        (pos[mol][sample][atom][xyz], float32 precision)."""
+        save = bool(request.get("save", True))
+        return_pos = bool(request.get("return_pos", False))
         out_dir = request.get("out_dir")
         if not out_dir:
-            raise ValueError("generate needs 'out_dir'")
+            if save:
+                raise ValueError("generate needs 'out_dir' (or 'save': false)")
+            out_dir = "."
         dataset = self._load_dataset(request)
         t0 = time.time()
         results = self.runner.run(
@@ -171,19 +179,27 @@ class GenerationService:
             start_idx=int(request.get("start_idx", 0)),
             end_idx=request.get("end_idx"),
             resume=bool(request.get("resume", True)),
+            save=save,
         )
         dt = time.time() - t0
         n_samples = sum(
             int(np.asarray(m.meta["pos_gen"]).shape[0])
             for m in results if "pos_gen" in m.meta
         )
-        return {
+        reply = {
             "ok": True,
             "molecules": len(results),
             "samples": n_samples,
             "seconds": round(dt, 3),
-            "out": f"{out_dir}/samples_all.npz",
         }
+        if save:
+            reply["out"] = f"{out_dir}/samples_all.npz"
+        if return_pos:
+            reply["pos"] = [
+                np.asarray(m.meta["pos_gen"], np.float32).tolist()
+                for m in results
+            ]
+        return reply
 
     def _evaluate(self, request: dict) -> dict:
         """COV/MAT over a generated samples npz (the generate reply's

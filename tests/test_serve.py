@@ -140,6 +140,32 @@ def test_service_lifecycle(service, tmp_path):
     assert np.isfinite(r["MAT-R_mean"]) and r["MAT-R_mean"] > 0
 
 
+def test_inline_generation(service, tmp_path):
+    """save=false + return_pos=true: the whole request stays in memory and
+    the reply inlines the conformers; results match a saved run with the
+    same seed."""
+    svc, port = service
+    base = {
+        "cmd": "generate", "synthetic": 2, "synthetic_seed": 7,
+        "num_conformers": 2, "num_confs": 2, "seed": 4, "resume": False,
+    }
+    r = submit({**base, "save": False, "return_pos": True},
+               port=port, timeout=600)
+    assert r["ok"] and r["molecules"] == 2 and r["samples"] == 4
+    assert "out" not in r
+    pos = r["pos"]
+    assert len(pos) == 2
+    r2 = submit({**base, "out_dir": str(tmp_path / "disk")},
+                port=port, timeout=600)
+    assert r2["ok"]
+    from agdiff_tpu.eval.generate import load_samples
+
+    saved = load_samples(str(tmp_path / "disk" / "samples_all.npz"))
+    for inline, mol in zip(pos, saved):
+        np.testing.assert_allclose(
+            np.asarray(inline, np.float32), mol.meta["pos_gen"], atol=1e-5)
+
+
 def test_service_error_paths(service):
     _, port = service
     r = submit({"cmd": "nope"}, port=port, timeout=10)
