@@ -86,6 +86,11 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true",
                     help="sample with the EMA shadow weights (checkpoint "
                          "must be trained with train.ema_decay > 0)")
+    ap.add_argument("--batch_window", type=float, default=0.0,
+                    help="dynamic batching: merge generate requests that "
+                         "arrive within this many seconds into one packed "
+                         "run (requires --packed; 0 = off). Per-request "
+                         "seeds keep results independent of co-batching")
     args = ap.parse_args(argv)
 
     if args.submit is not None:
@@ -137,7 +142,11 @@ def main(argv=None):
         model_config=config.model,
         engine=(None if args.engine == "xla" else args.engine),
     )
-    service = GenerationService(runner, logger=logger)
+    if args.batch_window > 0 and not args.packed:
+        ap.error("--batch_window requires --packed (cross-request packing "
+                 "uses the PackedGenerationRunner)")
+    service = GenerationService(runner, logger=logger,
+                                batch_window_s=args.batch_window)
     if args.warm_nodes or args.warm_set:
         import time
 

@@ -511,10 +511,21 @@ class PackedGenerationRunner(GenerationRunner):
     _per_slot_init = True
 
     def run(self, dataset, out_dir, seed=0, num_confs="2x", start_idx=0,
-            end_idx=None, resume=True, save=True):
+            end_idx=None, resume=True, save=True, item_seeds=None):
+        """num_confs may be a per-item list of sample counts (the serve
+        layer's dynamic batching merges requests with different counts).
+        item_seeds, when given, is a per-item (seed, index) list: item j's
+        sample k draws init noise from fold_in(fold_in(PRNGKey(seed), index),
+        k) — so a request's samples are a pure function of ITS seed and
+        molecule positions, independent of whatever other requests it was
+        co-batched with."""
         if save:
             os.makedirs(out_dir, exist_ok=True)
         end_idx = len(dataset) if end_idx is None else min(end_idx, len(dataset))
+        per_item_confs = isinstance(num_confs, (list, tuple))
+        if item_seeds is not None:
+            assert len(item_seeds) == len(dataset), (len(item_seeds),
+                                                     len(dataset))
         todo = []   # (dataset_idx, mol, num_samples)
         results: Dict[int, Molecule] = {}
         for i in range(start_idx, end_idx):
@@ -523,7 +534,9 @@ class PackedGenerationRunner(GenerationRunner):
             if save and resume and os.path.exists(path):
                 results[i] = load_samples(path)[0]
                 continue
-            todo.append((i, mol, self.num_samples_for(mol, num_confs)))
+            ns = (int(num_confs[i]) if per_item_confs
+                  else self.num_samples_for(mol, num_confs))
+            todo.append((i, mol, ns))
 
         # group by bucket — and by atom count too when the bucket selects
         # the tight engine, so every chunk is size-homogeneous and the fast
@@ -558,18 +571,26 @@ class PackedGenerationRunner(GenerationRunner):
                 # per-slot init noise keyed by (seed, dataset_idx,
                 # sample_idx); key math on the host CPU backend (one
                 # vectorized op, not B remote dispatches)
-                idx = np.array([i for i, _, _ in chunk]
-                               + [0] * pad_count, np.uint32)
+                if item_seeds is None:
+                    sds = np.array([seed] * len(chunk) + [0] * pad_count,
+                                   np.uint32)
+                    idx = np.array([i for i, _, _ in chunk]
+                                   + [0] * pad_count, np.uint32)
+                else:
+                    sds = np.array([item_seeds[i][0] for i, _, _ in chunk]
+                                   + [0] * pad_count, np.uint32)
+                    idx = np.array([item_seeds[i][1] for i, _, _ in chunk]
+                                   + [0] * pad_count, np.uint32)
                 sam = np.array([k for _, _, k in chunk]
                                + [0] * pad_count, np.uint32)
                 real = np.array([True] * len(chunk) + [False] * pad_count)
 
                 def _chunk_keys():
                     base = jax.vmap(
-                        lambda i_, k_: jax.random.fold_in(
+                        lambda s_, i_, k_: jax.random.fold_in(
                             jax.random.fold_in(
-                                jax.random.PRNGKey(seed), i_), k_)
-                    )(jnp.asarray(idx), jnp.asarray(sam))
+                                jax.random.PRNGKey(s_), i_), k_)
+                    )(jnp.asarray(sds), jnp.asarray(idx), jnp.asarray(sam))
                     pad_key = jnp.broadcast_to(jax.random.PRNGKey(0),
                                                base.shape)
                     keys = jnp.where(real[:, None], base, pad_key)

@@ -19,16 +19,26 @@ Protocol: newline-delimited JSON, one request per connection:
    "synthetic_chem": "rich", "out_dir": "out"}
   {"cmd": "shutdown"}
 
-Replies are one JSON line, always with an "ok" field. The server is
+Replies are one JSON line, always with an "ok" field. Request handling is
 single-threaded by design: one chip serializes ladder programs anyway, and
 share-nothing requests keep the failure story trivial (a failed request
 reports its traceback string; the server keeps serving).
+
+Dynamic batching (batch_window_s > 0, requires a PackedGenerationRunner):
+concurrent "generate" requests arriving within the window are merged into
+ONE packed run — their molecules share chunk slots, so K small requests
+cost ~the ladder wall-clock of one batched run instead of K dispatches of
+mostly-padding chunks. Per-request PRNG (item_seeds) keeps every request's
+samples a pure function of its own seed — co-batching never changes
+results. A request can opt out with "batch": false.
 """
 
 from __future__ import annotations
 
 import json
+import queue as queue_mod
 import socket
+import threading
 import time
 import traceback
 from typing import Optional
@@ -82,11 +92,21 @@ def warm_classes(runner, molecules) -> dict:
 class GenerationService:
     """Request handler around a (pre-built) GenerationRunner."""
 
-    def __init__(self, runner, logger=None):
+    def __init__(self, runner, logger=None, batch_window_s: float = 0.0):
         self.runner = runner
         self.logger = logger
         self.started = time.time()
         self.requests = 0
+        self.batch_window_s = float(batch_window_s)
+        # cross-request packing needs the packed runner's per-item seeds
+        # and per-item sample counts (run(num_confs=list, item_seeds=...))
+        if self.batch_window_s > 0 and not getattr(runner, "_per_slot_init",
+                                                   False):
+            raise ValueError(
+                "dynamic batching requires a PackedGenerationRunner "
+                "(cli.serve: pass --packed with --batch_window)")
+        self._queue: queue_mod.Queue = queue_mod.Queue()
+        self._worker: Optional[threading.Thread] = None
 
     # ---- request handlers ----
 
@@ -238,6 +258,114 @@ class GenerationService:
             **{k: round(v, 4) for k, v in stats.items()},
         }
 
+    # ---- dynamic batching ----
+
+    def _batch_worker(self) -> None:
+        """Drains the request queue: waits for one generate request, keeps
+        collecting for batch_window_s, then runs the merged batch. Exits on
+        the (None, None) sentinel (after flushing what's queued)."""
+        stop = False
+        while not stop:
+            item = self._queue.get()
+            if item[0] is None:
+                break
+            pending = [item]
+            deadline = time.time() + self.batch_window_s
+            while True:
+                t = deadline - time.time()
+                if t <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=t)
+                except queue_mod.Empty:
+                    break
+                if nxt[0] is None:
+                    stop = True
+                    break
+                pending.append(nxt)
+            self._run_merged(pending)
+
+    def _run_merged(self, pending) -> None:
+        """One packed run over every pending request's molecules. Requests
+        are ordered by seed so batch composition (and thus the chunk-level
+        ladder noise) is deterministic for a given request set; each
+        request's init noise is keyed by ITS (seed, molecule-index) via
+        item_seeds, so its samples don't depend on co-batched traffic."""
+        order = sorted(range(len(pending)),
+                       key=lambda j: int(pending[j][1].get("seed", 2021)))
+        mols, confs, item_seeds, owners = [], [], [], []
+        for j in order:
+            conn, req = pending[j]
+            try:
+                dataset = self._load_dataset(req)
+            except Exception:
+                self._send(conn, {"ok": False,
+                                  "error": traceback.format_exc()})
+                conn.close()
+                continue
+            seed = int(req.get("seed", 2021))
+            start = len(mols)
+            for k, m in enumerate(dataset):
+                mols.append(m)
+                confs.append(self.runner.num_samples_for(
+                    m, req.get("num_confs", "2x")))
+                item_seeds.append((seed, k))
+            owners.append((conn, req, start, len(dataset)))
+        if not mols:
+            return
+        self.requests += len(owners)
+        t0 = time.time()
+        try:
+            results = self.runner.run(
+                mols, ".", num_confs=confs, item_seeds=item_seeds,
+                save=False, resume=False,
+            )
+        except Exception:
+            err = {"ok": False, "error": traceback.format_exc()}
+            for conn, _, _, _ in owners:
+                self._send(conn, err)
+                conn.close()
+            return
+        dt = time.time() - t0
+        for conn, req, start, count in owners:
+            try:
+                sub = results[start:start + count]
+                reply = {
+                    "ok": True,
+                    "molecules": count,
+                    "samples": int(sum(
+                        np.asarray(m.meta["pos_gen"]).shape[0]
+                        for m in sub)),
+                    "seconds": round(dt, 3),
+                    "batched_with": len(owners) - 1,
+                }
+                out_dir = req.get("out_dir")
+                if bool(req.get("save", True)) and out_dir:
+                    import os as _os
+
+                    from agdiff_tpu.eval.generate import (
+                        _save_all,
+                        _save_with_gen,
+                    )
+
+                    _os.makedirs(out_dir, exist_ok=True)
+                    for k, m in enumerate(sub):
+                        _save_with_gen(
+                            _os.path.join(out_dir, f"samples_{k}.npz"),
+                            m, np.asarray(m.meta["pos_gen"], np.float32))
+                    _save_all(_os.path.join(out_dir, "samples_all.npz"),
+                              sub)
+                    reply["out"] = f"{out_dir}/samples_all.npz"
+                if bool(req.get("return_pos", False)):
+                    reply["pos"] = [
+                        np.asarray(m.meta["pos_gen"], np.float32).tolist()
+                        for m in sub
+                    ]
+            except Exception:
+                reply = {"ok": False, "error": traceback.format_exc()}
+            self._send(conn, reply)
+            conn.close()
+
     # ---- transport ----
 
     def serve(self, host: str = "127.0.0.1", port: int = 0,
@@ -252,32 +380,54 @@ class GenerationService:
         bound = srv.getsockname()[1]
         if self.logger:
             self.logger.info("serving on %s:%d", host, bound)
+        if self.batch_window_s > 0:
+            self._worker = threading.Thread(target=self._batch_worker,
+                                            daemon=True)
+            self._worker.start()
         if ready_callback:
             ready_callback(bound)
         try:
             while True:
                 conn, _ = srv.accept()
-                with conn:
-                    reply, stop = self._handle_conn(conn)
-                    if stop:
-                        break
+                request, bad = self._read_request(conn)
+                if bad is not None:
+                    self._send(conn, bad)
+                    conn.close()
+                    continue
+                if (self.batch_window_s > 0
+                        and request.get("cmd") == "generate"
+                        and bool(request.get("batch", True))):
+                    self._queue.put((conn, request))  # worker replies
+                    continue
+                reply = self.handle(request)
+                self._send(conn, reply)
+                conn.close()
+                if reply.get("shutdown"):
+                    break
         finally:
+            if self._worker is not None:
+                self._queue.put((None, None))
+                self._worker.join(timeout=600)
             srv.close()
 
-    def _handle_conn(self, conn) -> tuple:
+    def _read_request(self, conn):
+        """Returns (request, None) or (None, error_reply)."""
         data = b""
         conn.settimeout(60.0)
-        while not data.endswith(b"\n"):
-            chunk = conn.recv(1 << 16)
-            if not chunk:
-                break
-            data += chunk
         try:
+            while not data.endswith(b"\n"):
+                chunk = conn.recv(1 << 16)
+                if not chunk:
+                    break
+                data += chunk
             request = json.loads(data.decode() or "{}")
         except json.JSONDecodeError as e:
-            reply = {"ok": False, "error": f"bad json: {e}"}
-        else:
-            reply = self.handle(request)
+            return None, {"ok": False, "error": f"bad json: {e}"}
+        except OSError as e:
+            return None, {"ok": False, "error": f"recv failed: {e}"}
+        return request, None
+
+    def _send(self, conn, reply: dict) -> None:
         try:
             conn.sendall((json.dumps(reply) + "\n").encode())
         except OSError:
@@ -285,7 +435,6 @@ class GenerationService:
             # on disk either way — keep serving
             if self.logger:
                 self.logger.warning("client disconnected before reply")
-        return reply, bool(reply.get("shutdown"))
 
 
 def submit(request: dict, host: str = "127.0.0.1", port: int = 7521,
