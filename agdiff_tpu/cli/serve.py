@@ -151,12 +151,16 @@ def main(argv=None):
         import time
 
         t0 = time.time()
+        # dynamic batching merges bursts onto ANY power-of-two batch size;
+        # warm them all so no merge shape compiles mid-request
+        all_sizes = args.batch_window > 0
         for n in args.warm_nodes.split(","):
             if not n:
                 continue
             compiled = runner.warm(probe_molecule(int(n)),
                                    num_samples=args.warm_samples,
-                                   retry=args.warm_retry)
+                                   retry=args.warm_retry,
+                                   all_sizes=all_sizes)
             logger.info("warmed %s: %s", n, compiled)
         if args.warm_set:
             from agdiff_tpu.data.dataset import PackedConformationDataset
@@ -166,7 +170,8 @@ def main(argv=None):
             classes = warm_classes(runner, mols)
             for (b, cap), m in sorted(classes.items()):
                 compiled = runner.warm(m, num_samples=args.warm_samples,
-                                       retry=args.warm_retry)
+                                       retry=args.warm_retry,
+                                       all_sizes=all_sizes)
                 logger.info("warmed bucket %d cap %s: %s", b, cap, compiled)
         logger.info("warm-up done in %.1fs", time.time() - t0)
     service.serve(host=args.host, port=args.port)

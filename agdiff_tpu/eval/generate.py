@@ -299,13 +299,17 @@ class GenerationRunner:
         return capacity
 
     def warm(self, mol: Molecule, num_samples: Optional[int] = None,
-             retry: bool = False) -> List[tuple]:
+             retry: bool = False, all_sizes: bool = False) -> List[tuple]:
         """AOT-compile every ladder program ``generate_molecule(mol,
         num_samples)`` would run, without executing any of them. The
         persistent generation service (agdiff_tpu.serve) calls this at
         startup so the first request doesn't pay the ladder compile
         (minutes cold, ~1 min with a warm XLA disk cache). retry=True also
-        compiles the clip_local retry program. Returns the
+        compiles the clip_local retry program. all_sizes=True compiles
+        EVERY batch size _batch_size_for can emit (powers of two from 8 up
+        to chunk_size) — required under dynamic request batching, where a
+        merged burst can land on any of them (a cold merge shape costs
+        seconds of compile mid-request otherwise). Returns the
         (bucket, batch_size, retry) programs newly compiled."""
         num_samples = num_samples or self.chunk_size
         bucket = self._bucket_for(mol)
@@ -317,6 +321,12 @@ class GenerationRunner:
             count = min(remaining, self.chunk_size)
             sizes.add(self._batch_size_for(count))
             remaining -= count
+        if all_sizes:
+            b = 8
+            while b < self.chunk_size:
+                sizes.add(self._batch_size_for(b))
+                b *= 2
+            sizes.add(self.chunk_size)
         compiled = []
         for bsz in sorted(sizes):
             batch = pad_molecules([mol] * bsz, bucket, batch_size=bsz)

@@ -149,6 +149,10 @@ class GenerationService:
                 probe_molecule(int(n)),
                 num_samples=request.get("num_samples"),
                 retry=bool(request.get("retry", False)),
+                # under dynamic batching a merged burst can land on any
+                # power-of-two batch size; warm them all by default
+                all_sizes=bool(request.get(
+                    "all_sizes", self.batch_window_s > 0)),
             )
         return {
             "ok": True,

@@ -87,6 +87,23 @@ def test_fused_matches_legacy_packed_runner(bundle, tmp_path):
     assert not (tmp_path / "b").exists()
 
 
+def test_warm_all_sizes_covers_merge_shapes(bundle):
+    """warm(all_sizes=True) compiles EVERY batch size _batch_size_for can
+    emit (powers of two 8..chunk_size) so a dynamically-batched merge
+    never hits a cold program mid-request."""
+    cfg, model, variables, mols = bundle
+    runner = PackedGenerationRunner(
+        model, variables, make_diffusion(cfg.model),
+        SamplerConfig(n_steps=5), buckets=(16,), chunk_size=16,
+        use_fast=True, model_config=cfg.model,
+    )
+    compiled = runner.warm(mols[0], num_samples=4, all_sizes=True)
+    sizes = sorted(b for _, b, _ in compiled)
+    assert sizes == [8, 16], sizes
+    # idempotent: nothing new on a second call
+    assert runner.warm(mols[0], num_samples=4, all_sizes=True) == []
+
+
 def test_warm_compiles_fused_program(bundle):
     _, _, variables, mols = bundle
     runner = _make_runner(bundle, GenerationRunner, True)

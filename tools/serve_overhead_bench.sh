@@ -37,8 +37,12 @@ run_probe () {  # name extra-server-flags...
       "num_confs": 4, "seed": 1, "save": false}' > /dev/null 2>&1
   python /root/repo/tools/serve_latency_probe.py --port $PORT --requests 8 \
     | tee "$R/serveov_${name}_seq.json"
+  # two concurrent bursts: the first may pay one-time costs (e.g. a merge
+  # shape never warmed), the second is steady state
   python /root/repo/tools/serve_latency_probe.py --port $PORT --concurrent 8 \
     | tee "$R/serveov_${name}_conc.json"
+  python /root/repo/tools/serve_latency_probe.py --port $PORT --concurrent 8 \
+    | tee "$R/serveov_${name}_conc2.json"
   python -m agdiff_tpu.cli.serve --port $PORT --submit \
     '{"cmd": "shutdown"}' > /dev/null 2>&1
   sleep 3
@@ -48,9 +52,11 @@ run_probe () {  # name extra-server-flags...
 
 # single-request latency path (unbatched runner, fused dispatch + no disk)
 run_probe fused
-# concurrent-client path: packed runner + dynamic batching window
-run_probe batched --packed --batch_window 0.05
+# concurrent-client path: packed runner + dynamic batching window;
+# --warm_nodes pre-compiles EVERY power-of-two merge shape for the probe
+# molecules' bucket (a cold merge shape costs seconds mid-request)
+run_probe batched --packed --batch_window 0.05 --warm_nodes 32
 
-echo === fused ===;   cat "$R/serveov_fused_seq.json" "$R/serveov_fused_conc.json"
-echo === batched ===; cat "$R/serveov_batched_seq.json" "$R/serveov_batched_conc.json"
+echo === fused ===;   cat "$R"/serveov_fused_{seq,conc,conc2}.json
+echo === batched ===; cat "$R"/serveov_batched_{seq,conc,conc2}.json
 echo SERVE_OVERHEAD_DONE
