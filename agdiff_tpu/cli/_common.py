@@ -30,14 +30,20 @@ def enable_compilation_cache(logger=None):
     only when NOT running on local CPU — XLA:CPU AOT reloads trip
     machine-feature checks and log SIGILL warnings, so CPU stays opt-in.
     Returns the cache dir or None. Safe with backends that cannot
-    serialize executables: JAX warns once and compiles normally."""
+    serialize executables: JAX warns once and compiles normally.
+
+    The default path is REPO-LOCAL (.cache/xla, gitignored): machine
+    restarts between rounds wipe ~/.cache but preserve the repo, and a
+    cold ladder compile costs ~13 min (BENCH_r03 measured the regression:
+    compile_plus_first_s 56 -> 109.5 s after a ~/.cache wipe)."""
     cache = os.environ.get("AGDIFF_CACHE_DIR")
     if cache == "off":
         return None
     if not cache:
         if os.environ.get("AGDIFF_PLATFORM") == "cpu":
             return None
-        cache = os.path.expanduser("~/.cache/agdiff_tpu/xla")
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache", "xla")
     os.makedirs(cache, exist_ok=True)
     import jax
 

@@ -70,9 +70,19 @@ def main():
     # honor AGDIFF_PLATFORM=cpu like the CLIs (the image's sitecustomize
     # otherwise forces the remote axon backend); also enables the
     # persistent compilation cache
-    from agdiff_tpu.cli._common import apply_platform_env
+    import os
+    import sys
+
+    from agdiff_tpu.cli._common import apply_platform_env, \
+        enable_compilation_cache
 
     apply_platform_env()
+    cache_dir = enable_compilation_cache()
+    cache_entries = len(os.listdir(cache_dir)) if cache_dir and \
+        os.path.isdir(cache_dir) else 0
+    sys.stderr.write(
+        f"xla cache: {cache_dir} ({cache_entries} entries, "
+        f"{'WARM' if cache_entries else 'COLD'})\n")
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
                     help="conformers generated simultaneously per chip")
@@ -135,6 +145,14 @@ def main():
                          "student is statistical parity with the 5000-step "
                          "protocol (MAT-R 0.730 vs 0.713, paired p=0.53); "
                          "n64 beats it (0.650, p=0.006).")
+    ap.add_argument("--drugs-row", type=int, default=1,
+                    help="also measure the Drugs-size workload (N=64 B=48 "
+                         "heavy=20, auto-selected tight engine, full 5000-"
+                         "step protocol + distilled-n16) and report it in "
+                         "detail.drugs (0 = skip). The tight engine's "
+                         "Drugs-size win (3.18x same-molecule, 1.27x on "
+                         "real mixed-size molecules) is the flagship "
+                         "engine result (README).")
     args = ap.parse_args()
 
     _wait_for_backend()
@@ -277,6 +295,10 @@ def main():
             "student n64 BEATS the 5000-step protocol (0.650 vs 0.713, "
             "p=0.006); arm M, tools/rehearsal_r3_distill.sh, README")
 
+    drugs = None
+    if args.drugs_row:
+        drugs = _bench_drugs_row(args)
+
     print(json.dumps({
         "metric": "conformers_per_sec_per_chip",
         "value": round(conf_per_sec, 3),
@@ -297,8 +319,97 @@ def main():
             "baseline_est_conf_per_sec": BASELINE_CONF_PER_SEC,
             "ddim": ddim,
             "distilled": distilled,
+            "drugs": drugs,
+            "xla_cache": {"dir": cache_dir, "entries": cache_entries,
+                          "warm": bool(cache_entries)},
         },
     }))
+
+
+def _bench_drugs_row(args):
+    """Measure the Drugs-size workload (reference: configs/drugs_default.yml
+    — larger molecules, lower pair density): N=64 bucket, B=48, 20 heavy
+    atoms, with the engine GenerationRunner auto-selects at bucket >= 40
+    (fast-tight: shared per-graph pair lists + MXU one-hot aggregation,
+    measured 3.18x fast-xla at this size). Reports the full 5000-step
+    protocol and the distilled-n16 few-step protocol (arm Q quality
+    evidence)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from agdiff_tpu.config import ModelConfig
+    from agdiff_tpu.data.bucketing import pad_molecules
+    from agdiff_tpu.data.synthetic import synthetic_dataset
+    from agdiff_tpu.models.schedules import make_diffusion
+    from agdiff_tpu.models.tight_forward import pair_capacity_for
+    from agdiff_tpu.models.dualenc import get_model
+    from agdiff_tpu.sampling import SamplerConfig
+    from agdiff_tpu.sampling.langevin import build_fast_sampler
+
+    NODES, BATCH, HEAVY = 64, 48, 20
+    config = ModelConfig(dtype=args.dtype,
+                         edge_attention_mode=args.edge_attention)
+    model = get_model(config)
+    diffusion = make_diffusion(config)
+    mols = synthetic_dataset(1, seed=0, min_heavy=HEAVY, max_heavy=HEAVY)
+    batch = pad_molecules(mols * BATCH, max_nodes=NODES, edge_order=3,
+                          batch_size=BATCH)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
+    scfg = SamplerConfig(
+        n_steps=args.bench_steps, ladder=args.ladder, w_global=0.3,
+        global_start_sigma=0.5, clip_local=20.0,
+    )
+    pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+
+    def run(cfg_s, key0):
+        fast = build_fast_sampler(config, variables, diffusion, cfg_s,
+                                  engine="tight", pair_capacity=cap,
+                                  shared_pairs=True)
+        t0 = time.perf_counter()
+        out = fast(batch, pos_init, jax.random.PRNGKey(key0))
+        _ = jax.device_get(out.pos)
+        compile_s = time.perf_counter() - t0
+        times = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            out = fast(batch, pos_init, jax.random.PRNGKey(key0 + 1 + k))
+            _ = jax.device_get(out.pos)
+            times.append(time.perf_counter() - t0)
+        return min(times), compile_s, out
+
+    t_full, compile_s, out = run(scfg, 2)
+    steps_per_sec = args.bench_steps / t_full
+    conf_per_sec = BATCH / (args.protocol_steps / steps_per_sec)
+    row = {
+        "nodes": NODES, "batch": BATCH, "heavy_atoms": HEAVY,
+        "engine": "fast-tight (auto-selected at bucket >= 40)",
+        "conf_per_sec": round(conf_per_sec, 2),
+        "ms_per_step": round(1000.0 / steps_per_sec, 3),
+        "measured_steps": args.bench_steps,
+        "compile_plus_first_s": round(compile_s, 1),
+        "nan_frac": float(np.asarray(out.nan_flags).mean()),
+        "vs_baseline": round(conf_per_sec / BASELINE_CONF_PER_SEC, 1),
+    }
+    if args.distilled_steps:
+        dcfg = dataclasses.replace(
+            scfg, n_steps=args.distilled_steps, ladder="strided",
+            sampling_type="generalized", eta=0.0)
+        t_n, d_compile, _ = run(dcfg, 11)
+        row["distilled"] = {
+            "steps": args.distilled_steps,
+            "conf_per_sec": round(BATCH / t_n, 1),
+            "ms_per_step": round(1000.0 * t_n / args.distilled_steps, 3),
+            "compile_plus_first_s": round(d_compile, 1),
+            "vs_baseline": round(BATCH / t_n / BASELINE_CONF_PER_SEC, 1),
+            "quality_evidence": "arm Q (tools/rehearsal_r3_drugs_capstone"
+                                ".sh): EMA-distilled students at the Drugs "
+                                "flagship config, paired vs the raw "
+                                "5000-step protocol",
+        }
+    return row
 
 
 def _bench_train(args, dev, model_config):
