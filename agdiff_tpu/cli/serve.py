@@ -91,6 +91,12 @@ def main(argv=None):
                          "arrive within this many seconds into one packed "
                          "run (requires --packed; 0 = off). Per-request "
                          "seeds keep results independent of co-batching")
+    ap.add_argument("--max_nodes", type=int, default=0,
+                    help="reject generate requests whose molecules exceed "
+                         "this many atoms ({'ok': false} reply, no device "
+                         "work) instead of compiling a new ladder program "
+                         "mid-request (~7.6 s stall). Recommended: the "
+                         "largest --warm_nodes value. 0 = accept any size")
     args = ap.parse_args(argv)
 
     if args.submit is not None:
@@ -146,7 +152,8 @@ def main(argv=None):
         ap.error("--batch_window requires --packed (cross-request packing "
                  "uses the PackedGenerationRunner)")
     service = GenerationService(runner, logger=logger,
-                                batch_window_s=args.batch_window)
+                                batch_window_s=args.batch_window,
+                                max_nodes=args.max_nodes or None)
     if args.warm_nodes or args.warm_set:
         import time
 

@@ -92,12 +92,22 @@ def warm_classes(runner, molecules) -> dict:
 class GenerationService:
     """Request handler around a (pre-built) GenerationRunner."""
 
-    def __init__(self, runner, logger=None, batch_window_s: float = 0.0):
+    def __init__(self, runner, logger=None, batch_window_s: float = 0.0,
+                 max_nodes: Optional[int] = None):
         self.runner = runner
         self.logger = logger
         self.started = time.time()
         self.requests = 0
         self.batch_window_s = float(batch_window_s)
+        # capacity guard: a molecule larger than every warmed bucket would
+        # otherwise compile a NEW ladder program mid-request (~7.6 s stall
+        # even with a warm disk cache) and, for the tight engine, risks the
+        # silent pair-truncation hazard (sampling/langevin.py build_fast_
+        # sampler docstring). With max_nodes set, over-capacity requests
+        # are REJECTED cleanly ({"ok": false, "error": "..."}) before any
+        # device work; co-batched requests are unaffected (validation runs
+        # per-request inside _load_dataset).
+        self.max_nodes = int(max_nodes) if max_nodes else None
         # cross-request packing needs the packed runner's per-item seeds
         # and per-item sample counts (run(num_confs=list, item_seeds=...))
         if self.batch_window_s > 0 and not getattr(runner, "_per_slot_init",
@@ -160,11 +170,25 @@ class GenerationService:
             "seconds": round(time.time() - t0, 3),
         }
 
+    def _check_capacity(self, molecules):
+        """Reject over-capacity molecules cleanly (see __init__)."""
+        if self.max_nodes is None:
+            return molecules
+        for m in molecules:
+            if m.num_nodes > self.max_nodes:
+                raise ValueError(
+                    f"molecule {getattr(m, 'smiles', '?')!r} has "
+                    f"{m.num_nodes} atoms > server capacity "
+                    f"{self.max_nodes} (serve --max_nodes); request "
+                    "rejected — start a server warmed for larger buckets")
+        return molecules
+
     def _load_dataset(self, request: dict):
         if request.get("test_set"):
             from agdiff_tpu.data.dataset import PackedConformationDataset
 
-            return PackedConformationDataset(request["test_set"]).molecules
+            return self._check_capacity(
+                PackedConformationDataset(request["test_set"]).molecules)
         if request.get("synthetic"):
             from agdiff_tpu.data.synthetic import heavy_range, synthetic_dataset
 
@@ -172,13 +196,13 @@ class GenerationService:
             if request.get("synthetic_heavy") is not None:
                 lo, hi = heavy_range(int(request["synthetic_heavy"]))
                 kw = dict(min_heavy=lo, max_heavy=hi)
-            return synthetic_dataset(
+            return self._check_capacity(synthetic_dataset(
                 int(request["synthetic"]),
                 seed=int(request.get("synthetic_seed", 7)),
                 num_conformers=int(request.get("num_conformers", 3)),
                 chem=request.get("synthetic_chem", "tree"),
                 **kw,
-            )
+            ))
         raise ValueError("generate needs 'test_set' or 'synthetic'")
 
     def _generate(self, request: dict) -> dict:

@@ -43,7 +43,7 @@ def test_batching_requires_packed_runner():
 @pytest.fixture(scope="module")
 def batched_service():
     svc = GenerationService(_runner(PackedGenerationRunner),
-                            batch_window_s=0.8)
+                            batch_window_s=0.8, max_nodes=24)
     port_box = []
     ready = threading.Event()
 
@@ -110,6 +110,37 @@ def test_concurrent_requests_are_merged_and_co_batch_invariant(
                                        atol=1e-6)
     # at least two of the three rode in one merged batch
     assert max(merged_counts) >= 1
+
+
+def test_over_capacity_request_rejected_cleanly(batched_service):
+    """A molecule larger than the server's --max_nodes capacity must be
+    REJECTED with {"ok": false} before any device work — never silently
+    compiled into a new mid-request ladder program, and never allowed near
+    the tight engine's pair-truncation hazard (sampling/langevin.py). A
+    co-batched in-capacity request must be unaffected."""
+    svc, port = batched_service
+    replies = {}
+
+    def _client(name, req):
+        replies[name] = submit(req, port=port, timeout=600)
+
+    # 20 heavy atoms + hydrogens (48 total) >> the 24-atom capacity
+    over = {**_gen_req(11), "synthetic": 1, "synthetic_heavy": 20}
+    threads = [
+        threading.Thread(target=_client, args=("over", over)),
+        threading.Thread(target=_client, args=("ok", _gen_req(12))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert replies["over"]["ok"] is False
+    assert "server capacity 24" in replies["over"]["error"]
+    assert replies["ok"]["ok"] is True and replies["ok"]["samples"] == 4
+
+    # solo (unbatched) path rejects identically
+    r = submit({**over, "batch": False}, port=port, timeout=600)
+    assert r["ok"] is False and "server capacity 24" in r["error"]
 
 
 def test_batched_request_can_save(batched_service, tmp_path):
