@@ -174,7 +174,7 @@ def node_input(conv, h):
 def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
-    approx: bool = False, filter_dtype=None,
+    approx: bool = False, filter_dtype=None, stack_filters: bool = False,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -199,7 +199,21 @@ def build_fast_forward(
     model's largest, historically kept f32 even in the bf16 engine — at
     bf16 MXU rate with f32 accumulation (preferred_element_type); the
     shifted-softplus still evaluates on the f32 accumulator. Quality-gated
-    like approx (fast-bf16f in tools/ab_engines.py)."""
+    like approx (fast-bf16f in tools/ab_engines.py).
+
+    stack_filters=True (requires pack_pairs, XLA path) restructures the
+    per-step edge work around the observation that NONE of it depends on
+    the evolving node features h: the 12 filter MLPs (6 blocks x 2 convs)
+    all consume the same per-step edge_attr and the 12 distance-weight
+    MLPs the same edge lengths. All 12 filters run as ONE wide first-layer
+    matmul (128 -> 6*(128+64)=1152 lanes) + two grouped second-layer
+    einsums; the distance weights, cutoff envelope and edge mask multiply
+    the filters in PACKED space (half the element volume), and each block
+    mirrors packed->dense ONCE at the concatenated width F=192 (conv1 128
+    + conv2 64 share one gather + one aggregation einsum) instead of twice
+    — the diagonal lands on an appended always-zero pair slot. Values are
+    identical to the unstacked path (same contractions, same multiply
+    order; tests/test_fast_forward.py)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -213,6 +227,9 @@ def build_fast_forward(
         )
     if approx and use_pallas:
         raise ValueError("approx engines use the XLA path (use_pallas=False)")
+    if stack_filters and (use_pallas or not pack_pairs):
+        raise ValueError("stack_filters requires pack_pairs=True and the "
+                         "XLA path (use_pallas=False)")
     cfg = config
     if approx:
         from agdiff_tpu.ops import approx as _ax
@@ -244,6 +261,68 @@ def build_fast_forward(
                 _conv["fb"] = (_conv["fb"][0].astype(fdt), _conv["fb"][1])
     gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
     grad_global, grad_local = folded["grad_global"], folded["grad_local"]
+
+    stacked = None
+    if stack_filters:
+        convs_all = [c for blk in blocks for c in blk["convs"]]
+        widths = [c["fa"][0].shape[1] for c in convs_all]  # 128,64,128,64,...
+        offs = np.concatenate([[0], np.cumsum(widths)])
+        stacked = dict(
+            # one wide first layer over the shared edge_attr input
+            fa_k=jnp.concatenate([c["fa"][0].astype(fdt)
+                                  for c in convs_all], axis=1),
+            fa_b=jnp.concatenate([c["fa"][1] for c in convs_all]),
+            beta=jnp.concatenate([
+                jnp.broadcast_to(c["beta"], (w,))
+                for c, w in zip(convs_all, widths)]),
+            offs=offs,
+            # grouped second layers: 6 conv1 filters (H->128) and 6 conv2
+            # filters (H/2->64) as two batched einsums
+            fb1_k=jnp.stack([b["convs"][0]["fb"][0].astype(fdt)
+                             for b in blocks]),
+            fb1_b=jnp.stack([b["convs"][0]["fb"][1] for b in blocks]),
+            fb2_k=jnp.stack([b["convs"][1]["fb"][0].astype(fdt)
+                             for b in blocks]),
+            fb2_b=jnp.stack([b["convs"][1]["fb"][1] for b in blocks]),
+            # 12 distance-weight MLPs: one wide relu layer + grouped head
+            dw1_k=jnp.concatenate([c["dw1"][0] for c in convs_all], axis=1),
+            dw1_b=jnp.concatenate([c["dw1"][1] for c in convs_all]),
+            dw2_k=jnp.stack([c["dw2"][0][:, 0] for c in convs_all]),
+            dw2_b=jnp.stack([c["dw2"][1][0] for c in convs_all]),
+            dw_hidden=convs_all[0]["dw1"][0].shape[1],
+        )
+
+    def stacked_filters_packed(e_packed, el_packed, edge_mask_packed):
+        """All 12 CFConv filters (x distance weight x envelope x edge mask)
+        on the packed pair set: returns per-block (B, P, 192) tensors,
+        conv1 filter in [..., :H], conv2 in [..., H:]."""
+        st = stacked
+        B, P = e_packed.shape[:2]
+        n_blocks = len(blocks)
+        # distance weights: (B, P, 12)
+        u = jax.nn.relu(el_packed * st["dw1_k"][0] + st["dw1_b"])
+        u = u.reshape(B, P, 2 * n_blocks, st["dw_hidden"])
+        lw = sig_fn(jnp.einsum("bpkh,kh->bpk", u, st["dw2_k"])
+                    + st["dw2_b"])
+        env_p = envelope(el_packed[..., 0], cfg) * edge_mask_packed
+        we = lw * env_p[..., None]                       # (B, P, 12)
+        # filters: one wide matmul, then grouped second layers
+        v = ssp(jnp.matmul(e_packed.astype(fdt), st["fa_k"],
+                           preferred_element_type=jnp.float32)
+                + st["fa_b"], st["beta"])                # (B, P, 1152)
+        offs = st["offs"]
+        v1 = jnp.stack([v[..., offs[2 * i]:offs[2 * i + 1]]
+                        for i in range(n_blocks)], axis=2)  # (B,P,6,H)
+        v2 = jnp.stack([v[..., offs[2 * i + 1]:offs[2 * i + 2]]
+                        for i in range(n_blocks)], axis=2)  # (B,P,6,H/2)
+        w1 = jnp.einsum("bpkh,khf->bpkf", v1.astype(fdt), st["fb1_k"],
+                        preferred_element_type=jnp.float32) + st["fb1_b"]
+        w2 = jnp.einsum("bpkh,khf->bpkf", v2.astype(fdt), st["fb2_k"],
+                        preferred_element_type=jnp.float32) + st["fb2_b"]
+        w1 = w1 * we[:, :, 0::2, None]
+        w2 = w2 * we[:, :, 1::2, None]
+        return [jnp.concatenate([w1[:, :, i], w2[:, :, i]], axis=-1)
+                for i in range(n_blocks)]
 
     def cf_pathway_xla(conv, h, edge_attr, el, env_mask):
         lw = dweight(conv, el)
@@ -301,11 +380,27 @@ def build_fast_forward(
         return jnp.where(mask, score, 0.0)
 
     def schnet_block(blk, h, edge_attr, el, env_mask, *,
-                     e_packed=None, pair_id=None):
+                     e_packed=None, pair_id=None,
+                     w_cat=None, pair_id_ext=None):
         """One dual-pathway interaction-block update h -> h (the reusable
-        stage body: also the pipeline-parallel stage fn, parallel/pipeline)."""
+        stage body: also the pipeline-parallel stage fn, parallel/pipeline).
+
+        w_cat: precomputed packed filter block from stacked_filters_packed —
+        (B, P, H + H/2), already multiplied by distance weight, envelope and
+        edge mask. pair_id_ext mirrors it to dense with the diagonal mapped
+        to the appended always-zero pair slot P."""
         c1, c2 = blk["convs"]
-        if use_pallas:
+        if w_cat is not None:
+            x_cat = jnp.concatenate(
+                [node_input(c1, h), node_input(c2, h)], axis=-1)
+            w_ext = jnp.concatenate(
+                [w_cat, jnp.zeros_like(w_cat[:, :1])], axis=1)
+            w_dense = w_ext[:, pair_id_ext]              # (B, N, N, 192)
+            agg = jnp.einsum("bijf,bjf->bif", w_dense,
+                             x_cat.astype(w_dense.dtype))
+            f1 = c1["fb"][0].shape[1]
+            a1, a2 = agg[..., :f1], agg[..., f1:]
+        elif use_pallas:
             a1, a2 = interaction_block_aggregate(
                 edge_attr,
                 dweight(c1, el) * env_mask,
@@ -365,6 +460,11 @@ def build_fast_forward(
             pair_id_np = pair_id_np + pair_id_np.T  # diagonal -> pair 0 (masked)
             iu, ju = jnp.asarray(iu_np), jnp.asarray(ju_np)
             pair_id = jnp.asarray(pair_id_np)
+            if stack_filters:
+                # diagonal -> the appended always-zero pair slot P
+                pid_ext_np = pair_id_np.copy()
+                np.fill_diagonal(pid_ext_np, len(iu_np))
+                pair_id_ext = jnp.asarray(pid_ext_np)
             el_packed = dist[:, iu, ju][..., None]        # (B, P, 1)
             type_packed = edge_type[:, iu, ju]            # (B, P)
             e_packed = encode(ee, el_packed, type_packed).astype(
@@ -386,10 +486,17 @@ def build_fast_forward(
         # --- SchNet global branch ---
         h = _embed_lookup(schnet_emb, batch.atom_type, cfg.embedding_max_norm)
         env_mask = envelope(dist, cfg) * edge_mask
-        for blk in blocks:
-            h = schnet_block(blk, h, edge_attr, el, env_mask,
-                             e_packed=e_packed if pack_pairs else None,
-                             pair_id=pair_id if pack_pairs else None)
+        if stack_filters:
+            w_cats = stacked_filters_packed(
+                e_packed, el_packed, edge_mask[:, iu, ju])
+            for blk, w_cat in zip(blocks, w_cats):
+                h = schnet_block(blk, h, edge_attr, el, env_mask,
+                                 w_cat=w_cat, pair_id_ext=pair_id_ext)
+        else:
+            for blk in blocks:
+                h = schnet_block(blk, h, edge_attr, el, env_mask,
+                                 e_packed=e_packed if pack_pairs else None,
+                                 pair_id=pair_id if pack_pairs else None)
 
         if pack_pairs:
             edge_inv_global = pair_scores_packed(

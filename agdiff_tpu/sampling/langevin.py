@@ -312,6 +312,9 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
+      * 'stack' — fast_forward with stack_filters=True: all 12 filter MLPs
+        as one wide matmul, distance-weight/envelope products in packed
+        space, one F=192 mirror+aggregate per block (value-identical);
       * 'tight' — models/tight_forward.py (per-graph packed pairs sized by
         `pair_capacity`, MXU one-hot aggregation — the fastest engine);
       * 'approx' / 'tight-approx' — the xla / tight engine with the hot
@@ -368,7 +371,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         use_pallas=use_pallas,
                                         compute_dtype=compute_dtype,
                                         approx=approx,
-                                        filter_dtype=filter_dtype)
+                                        filter_dtype=filter_dtype,
+                                        stack_filters=(engine == "stack"))
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -117,7 +117,8 @@ def main():
                          "gradient-identical, fastest at bf16)")
     ap.add_argument("--engine", default="fast-xla",
                     choices=["fast-xla", "fast-tight", "fast-tight-tab",
-                             "fast-pallas", "fast-mono", "module"],
+                             "fast-pallas", "fast-mono", "fast-stack",
+                             "module"],
                     help="sampling engine: fast-xla (folded BN + symmetric "
                          "pair packing), fast-tight (per-graph tight pair "
                          "lists + MXU one-hot aggregation), fast-pallas "
@@ -209,7 +210,8 @@ def main():
             fast = build_fast_sampler(
                 config, variables, diffusion, cfg_s,
                 use_pallas=(args.engine == "fast-pallas"),
-                engine="tight" if tight else {"fast-mono": "mono"}.get(
+                engine="tight" if tight else {
+                    "fast-mono": "mono", "fast-stack": "stack"}.get(
                     args.engine),
                 pair_capacity=cap,
                 shared_pairs=tight,

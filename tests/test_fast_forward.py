@@ -47,6 +47,36 @@ class TestFastForward:
         fwd = build_fast_forward(cfg, variables, use_pallas=False)
         _compare(fwd(batch), golden)
 
+    def test_stacked_variant_matches_module(self, setup):
+        """stack_filters=True: one wide filter matmul + packed distance
+        weights + single F=192 mirror per block must equal the module."""
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 stack_filters=True)
+        _compare(fwd(batch), golden)
+
+    def test_stacked_variant_trained_weights(self, setup, small_config):
+        """With non-trivial BN stats + trained distance-weight MLPs (the
+        stacked path re-groups those weights), still module-equal."""
+        from agdiff_tpu.config import Config, TrainConfig
+        from agdiff_tpu.train.train_step import (
+            create_train_state,
+            make_train_step,
+        )
+
+        mols = synthetic_dataset(4, seed=23, min_heavy=3, max_heavy=4)
+        batch = pad_molecules(mols, 16, batch_size=4)
+        cfg = Config(model=small_config, train=TrainConfig(batch_size=4))
+        model, state = create_train_state(cfg, jax.random.PRNGKey(2), 16, 4)
+        step = make_train_step(model, cfg, donate=False)
+        for k in range(5):
+            state, _ = step(state, batch, jax.random.PRNGKey(200 + k))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        golden = model.apply(variables, batch, train=False)
+        fwd = build_fast_forward(small_config, variables, use_pallas=False,
+                                 stack_filters=True)
+        _compare(fwd(batch), golden)
+
     def test_pallas_variant_matches_module(self, setup, monkeypatch):
         monkeypatch.setattr(fused, "_INTERPRET", True)
         cfg, batch, variables, golden = setup

@@ -77,6 +77,7 @@ def main():
                       "fast-approx": "approx",
                       "fast-tight-approx": "tight-approx",
                       "fast-bf16f": None, "fast-tight-bf16f": "tight",
+                      "fast-stack": "stack",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine in ("tight", "tight-approx") else None)
