@@ -1,0 +1,138 @@
+"""Roofline analysis of the sampler step: is the 2.4 ms/step floor
+structural? (VERDICT r3 "Next round" #4.)
+
+For each requested engine this builds the ladder scan, compiles it AOT, and
+reads XLA's compiled cost analysis (flops, bytes accessed) — compile-time
+metadata that works through the remote-TPU tunnel where a device trace does
+not. Combined with the measured wall-clock it yields:
+
+  MFU                = flops/step / (t_step * peak_flops)
+  achieved HBM GB/s  = bytes/step / t_step
+  bandwidth fraction = achieved / peak_bw
+
+If the bandwidth fraction is high (>~70%) the step is HBM-bound and the
+floor is structural — attack it only by shrinking bytes (packing, fusion,
+bf16). If MFU is high it is MXU-bound. If both are low, the step is
+latency/occupancy-bound and restructuring (fewer, larger ops) helps.
+
+v5e peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM. Override with
+--peak-tflops / --peak-gbs for other chips.
+
+Usage (TPU):
+  python tools/roofline.py --engines fast-xla,fast-stack,fast-tight
+  python tools/roofline.py --nodes 64 --batch 48 --heavy 20 \
+      --engines fast-xla,fast-tight          # Drugs size
+
+Also supports --mode train (the chunked train step).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from agdiff_tpu.cli._common import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engines", default="fast-xla,fast-stack,fast-tight")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nodes", type=int, default=32)
+    ap.add_argument("--heavy", type=int, default=9)
+    ap.add_argument("--steps", type=int, default=250,
+                    help="scan length to compile/measure (per-step numbers "
+                         "divide by this)")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--peak-tflops", type=float, default=197.0)
+    ap.add_argument("--peak-gbs", type=float, default=819.0)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from agdiff_tpu.config import ModelConfig
+    from agdiff_tpu.data.bucketing import pad_molecules
+    from agdiff_tpu.data.synthetic import synthetic_dataset
+    from agdiff_tpu.models.dualenc import get_model
+    from agdiff_tpu.models.schedules import make_diffusion
+    from agdiff_tpu.models.tight_forward import pair_capacity_for
+    from agdiff_tpu.sampling import SamplerConfig
+    from agdiff_tpu.sampling.langevin import build_fast_sampler
+
+    config = ModelConfig(dtype=args.dtype)
+    model = get_model(config)
+    diffusion = make_diffusion(config)
+    mols = synthetic_dataset(1, seed=0, min_heavy=args.heavy,
+                             max_heavy=args.heavy)
+    batch = pad_molecules(mols * args.batch, max_nodes=args.nodes,
+                          edge_order=3, batch_size=args.batch)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    scfg = SamplerConfig(n_steps=args.steps, ladder="suffix", w_global=0.3,
+                         global_start_sigma=0.5, clip_local=20.0)
+    pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+    key = jax.random.PRNGKey(2)
+
+    rows = []
+    for name in args.engines.split(","):
+        engine = {"fast-xla": None, "fast-stack": "stack",
+                  "fast-tight": "tight", "fast-mono": "mono"}[name]
+        cap = (pair_capacity_for(len(mols[0].atom_type))
+               if engine == "tight" else None)
+        fn = build_fast_sampler(config, variables, diffusion, scfg,
+                                engine=engine, pair_capacity=cap,
+                                shared_pairs=(engine == "tight"))
+        lowered = fn.lower(batch, pos_init, key)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns one dict per device
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        # first call may include backend warm-up; time min of reps after
+        out = compiled(batch, pos_init, key)
+        _ = jax.device_get(out.pos)
+        times = []
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            out = compiled(batch, pos_init, jax.random.PRNGKey(3 + r))
+            _ = jax.device_get(out.pos)
+            times.append(time.perf_counter() - t0)
+        t_step = min(times) / args.steps
+        flops_step = flops / args.steps
+        bytes_step = bytes_acc / args.steps
+        mfu = flops_step / (t_step * args.peak_tflops * 1e12)
+        gbs = bytes_step / t_step / 1e9
+        rows.append({
+            "engine": name,
+            "ms_per_step": round(t_step * 1e3, 3),
+            "gflops_per_step": round(flops_step / 1e9, 2),
+            "mbytes_per_step": round(bytes_step / 1e6, 1),
+            "mfu": round(mfu, 4),
+            "achieved_gbs": round(gbs, 1),
+            "bw_fraction": round(gbs / args.peak_gbs, 3),
+            "arithmetic_intensity": round(
+                flops_step / max(bytes_step, 1), 2),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    verdicts = []
+    for r in rows:
+        bound = ("HBM-bound" if r["bw_fraction"] > 0.6
+                 else "MXU-bound" if r["mfu"] > 0.5
+                 else "latency/occupancy-bound")
+        verdicts.append(f"{r['engine']}: {bound}")
+    print(json.dumps({
+        "batch": args.batch, "nodes": args.nodes, "heavy": args.heavy,
+        "dtype": args.dtype, "measured_steps": args.steps,
+        "peak_tflops": args.peak_tflops, "peak_gbs": args.peak_gbs,
+        "verdicts": verdicts, "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
