@@ -93,13 +93,16 @@ def main():
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         bytes_acc = float(ca.get("bytes accessed", 0.0))
-        # first call may include backend warm-up; time min of reps after
+        # first call may include backend warm-up; time min of reps after.
+        # Keys are created OUTSIDE the timed region: each PRNGKey is its own
+        # ~25 ms host-side dispatch through the remote-chip tunnel.
         out = compiled(batch, pos_init, key)
         _ = jax.device_get(out.pos)
+        rep_keys = [jax.random.PRNGKey(3 + r) for r in range(args.reps)]
         times = []
         for r in range(args.reps):
             t0 = time.perf_counter()
-            out = compiled(batch, pos_init, jax.random.PRNGKey(3 + r))
+            out = compiled(batch, pos_init, rep_keys[r])
             _ = jax.device_get(out.pos)
             times.append(time.perf_counter() - t0)
         t_step = min(times) / args.steps
