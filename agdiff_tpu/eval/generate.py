@@ -314,7 +314,23 @@ class GenerationRunner:
         num_samples = num_samples or self.chunk_size
         bucket = self._bucket_for(mol)
         engine = self._engine_for(bucket)
-        capacity = self._capacity_for(mol, engine)
+        capacities = [self._capacity_for(mol, engine)]
+        if all_sizes and capacities[0] is not None:
+            # Tight-engine programs are ALSO keyed by pair capacity, which
+            # is molecule-size-dependent (256-multiples of N(N-1)/2, see
+            # _capacity_for). Warming only the probe molecule's capacity
+            # leaves same-bucket molecules with other atom counts to
+            # compile cold mid-request (measured ~7.6-40 s stalls in the
+            # round-4 soak). Enumerate every capacity this bucket can emit:
+            # atom counts from just above the previous bucket up to this
+            # bucket's size.
+            from agdiff_tpu.models.tight_forward import pair_capacity_for
+
+            lo = max((b for b in self.buckets if b < bucket), default=0)
+            capacities = sorted({
+                pair_capacity_for(n, multiple=256)
+                for n in range(lo + 1, bucket + 1)
+            })
         sizes = set()
         remaining = num_samples
         while remaining > 0:
@@ -336,11 +352,13 @@ class GenerationRunner:
                 batch = shard_graph_batch(batch, self.mesh)
             pos_abs = jax.ShapeDtypeStruct(batch.pos.shape, batch.pos.dtype)
             key_c = jax.random.PRNGKey(0)
-            for r in ((False, True) if retry else (False,)):
-                sampler = self._sampler(bucket, retry=r, capacity=capacity,
-                                        engine=engine)
-                if sampler.warm(self.variables, batch, pos_abs, key_c):
-                    compiled.append((bucket, bsz, r))
+            for capacity in capacities:
+                for r in ((False, True) if retry else (False,)):
+                    sampler = self._sampler(bucket, retry=r,
+                                            capacity=capacity,
+                                            engine=engine)
+                    if sampler.warm(self.variables, batch, pos_abs, key_c):
+                        compiled.append((bucket, bsz, r))
         return compiled
 
     def generate_molecule(

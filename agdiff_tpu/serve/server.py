@@ -49,6 +49,19 @@ from agdiff_tpu.chem.constants import BondType
 from agdiff_tpu.chem.mol import Molecule
 
 
+class OverCapacityError(ValueError):
+    """Request asked for a molecule larger than the server's --max_nodes.
+
+    A DESIGNED rejection, not a failure: replies carry
+    ``rejected: "over_capacity"`` and a one-line message instead of a
+    traceback, so clients (and the soak harness) can tell policy
+    rejections from genuine server errors."""
+
+
+def _reject_reply(exc: OverCapacityError) -> dict:
+    return {"ok": False, "error": str(exc), "rejected": "over_capacity"}
+
+
 def probe_molecule(num_nodes: int) -> Molecule:
     """A linear carbon chain of `num_nodes` atoms: the cheapest molecule
     that exercises the (bucket, batch) shapes and the tight engine's pair
@@ -135,6 +148,8 @@ class GenerationService:
             if cmd == "shutdown":
                 return {"ok": True, "shutdown": True}
             return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+        except OverCapacityError as e:
+            return _reject_reply(e)
         except Exception:
             return {"ok": False, "error": traceback.format_exc()}
 
@@ -176,7 +191,7 @@ class GenerationService:
             return molecules
         for m in molecules:
             if m.num_nodes > self.max_nodes:
-                raise ValueError(
+                raise OverCapacityError(
                     f"molecule {getattr(m, 'smiles', '?')!r} has "
                     f"{m.num_nodes} atoms > server capacity "
                     f"{self.max_nodes} (serve --max_nodes); request "
@@ -326,6 +341,10 @@ class GenerationService:
             conn, req = pending[j]
             try:
                 dataset = self._load_dataset(req)
+            except OverCapacityError as e:
+                self._send(conn, _reject_reply(e))
+                conn.close()
+                continue
             except Exception:
                 self._send(conn, {"ok": False,
                                   "error": traceback.format_exc()})

@@ -175,3 +175,52 @@ def test_service_error_paths(service):
     assert not r["ok"] and "test_set" in r["error"]
     # a failed request must not kill the server
     assert submit({"cmd": "ping"}, port=port, timeout=10)["ok"]
+
+
+def test_warm_all_sizes_covers_every_bucket_capacity(monkeypatch):
+    """Under dynamic batching, warm(all_sizes=True) must compile a tight
+    program for EVERY pair capacity the bucket can emit, not just the probe
+    molecule's: tight programs are keyed by capacity (256-multiples of the
+    molecule's N(N-1)/2), so a same-bucket molecule with a different atom
+    count would otherwise compile cold mid-request (measured 7-40 s stalls
+    in the round-4 serving soak)."""
+    from agdiff_tpu import Config, ModelConfig
+    from agdiff_tpu.models.tight_forward import pair_capacity_for
+
+    cfg = Config(model=ModelConfig(hidden_dim=32, num_convs=2,
+                                   num_convs_local=2,
+                                   num_diffusion_timesteps=50))
+    mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3)
+    batch = pad_molecules(mols, 16, batch_size=1)
+    model = get_model(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    runner = GenerationRunner(
+        model, variables, make_diffusion(cfg.model),
+        SamplerConfig(n_steps=4), buckets=(16, 48), chunk_size=8,
+        use_fast=True, model_config=cfg.model,
+    )
+
+    warmed = []
+
+    class _Stub:
+        def warm(self, *a, **k):
+            return True
+
+    def fake_sampler(bucket, retry, capacity=None, engine=None):
+        warmed.append((bucket, retry, capacity, engine))
+        return _Stub()
+
+    monkeypatch.setattr(runner, "_sampler", fake_sampler)
+    probe = probe_molecule(48)
+    runner.warm(probe, retry=False, all_sizes=True)
+
+    expected = {pair_capacity_for(n, multiple=256) for n in range(17, 49)}
+    got = {cap for (_, _, cap, eng) in warmed if eng == "tight"}
+    assert got == expected, (got, expected)
+    # the probe's own capacity is among them
+    assert pair_capacity_for(48, multiple=256) in got
+    # without all_sizes only the probe's capacity is compiled
+    warmed.clear()
+    runner.warm(probe, retry=False, all_sizes=False)
+    assert {cap for (_, _, cap, _) in warmed} == {
+        pair_capacity_for(48, multiple=256)}

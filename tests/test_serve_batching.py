@@ -136,11 +136,16 @@ def test_over_capacity_request_rejected_cleanly(batched_service):
         t.join(timeout=600)
     assert replies["over"]["ok"] is False
     assert "server capacity 24" in replies["over"]["error"]
+    # structured policy rejection: one-line message + rejected marker,
+    # NOT a traceback (clients must be able to tell policy from failure)
+    assert replies["over"]["rejected"] == "over_capacity"
+    assert "Traceback" not in replies["over"]["error"]
     assert replies["ok"]["ok"] is True and replies["ok"]["samples"] == 4
 
     # solo (unbatched) path rejects identically
     r = submit({**over, "batch": False}, port=port, timeout=600)
     assert r["ok"] is False and "server capacity 24" in r["error"]
+    assert r["rejected"] == "over_capacity" and "Traceback" not in r["error"]
 
 
 def test_batched_request_can_save(batched_service, tmp_path):

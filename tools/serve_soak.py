@@ -71,6 +71,7 @@ def main():
 
     lock = threading.Lock()
     records = []   # (size_class, latency_s, samples, ok, batched_with)
+    with_rejects = []  # (size_class, latency_s): clean over-capacity
     errors = []
     stop_at = time.time() + args.duration
 
@@ -99,8 +100,13 @@ def main():
                 if r.get("ok"):
                     records.append((heavy, dt, r.get("samples", 0),
                                     r.get("batched_with", 0)))
+                elif r.get("rejected") == "over_capacity":
+                    # designed policy rejection (molecule > --max_nodes):
+                    # count separately — the soak draws random molecules,
+                    # some legitimately exceed the server's capacity class
+                    with_rejects.append((heavy, dt))
                 else:
-                    errors.append(f"client{cid}: {r.get('error', '?')[:200]}")
+                    errors.append(f"client{cid}: {r.get('error', '?')[:400]}")
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(args.clients)]
@@ -116,6 +122,9 @@ def main():
         "clients": args.clients,
         "wall_s": round(wall, 1),
         "requests_ok": len(records),
+        "rejected_over_capacity": len(with_rejects),
+        "reject_p50_s": round(
+            percentile([r[1] for r in with_rejects], 50), 3),
         "errors": len(errors),
         "conf_per_sec_served": round(total_samples / wall, 1),
         "samples_total": total_samples,
@@ -141,6 +150,7 @@ def main():
             "synthetic_heavy": 40, "num_confs": 2, "save": False,
         }, args.host, args.port, timeout=args.timeout)
         ok = (probe.get("ok") is False
+              and probe.get("rejected") == "over_capacity"
               and f"server capacity {args.capacity}" in probe.get("error", ""))
         print("over_capacity_probe:",
               "CLEAN_REJECT" if ok else f"UNEXPECTED: {probe}")
