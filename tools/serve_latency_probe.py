@@ -26,13 +26,16 @@ import time
 from agdiff_tpu.serve.server import submit
 
 
-def _request(seed: int, inline: bool) -> dict:
+def _request(seed: int, args) -> dict:
     req = {
-        "cmd": "generate", "synthetic": 2, "synthetic_chem": "rich",
-        "num_confs": 4, "seed": seed, "resume": False,
+        "cmd": "generate", "synthetic": args.mols,
+        "synthetic_chem": args.chem,
+        "num_confs": args.num_confs, "seed": seed, "resume": False,
         "save": False, "return_pos": False,
     }
-    if inline:
+    if args.heavy:
+        req["synthetic_heavy"] = args.heavy
+    if args.return_pos:
         req["return_pos"] = True
     return req
 
@@ -48,6 +51,13 @@ def main():
     ap.add_argument("--return_pos", action="store_true",
                     help="inline conformers in the reply (adds JSON cost)")
     ap.add_argument("--seed0", type=int, default=2021)
+    ap.add_argument("--mols", type=int, default=2,
+                    help="synthetic molecules per request")
+    ap.add_argument("--num_confs", type=int, default=4)
+    ap.add_argument("--chem", default="rich", choices=["tree", "rich"])
+    ap.add_argument("--heavy", type=int, default=0,
+                    help="synthetic_heavy size class (0 = server default; "
+                         "9 = QM9-size, 20 = Drugs-size)")
     args = ap.parse_args()
 
     if args.concurrent:
@@ -57,7 +67,7 @@ def main():
         def _client(j):
             t0 = time.time()
             replies[j] = submit(
-                _request(args.seed0 + j, args.return_pos),
+                _request(args.seed0 + j, args),
                 host=args.host, port=args.port, timeout=600)
             lat[j] = time.time() - t0
 
@@ -83,23 +93,25 @@ def main():
         }))
         return
 
-    lat = []
+    lat, samples = [], []
     for j in range(args.requests):
         t0 = time.time()
-        r = submit(_request(args.seed0 + j, args.return_pos),
+        r = submit(_request(args.seed0 + j, args),
                    host=args.host, port=args.port, timeout=1200)
         dt = time.time() - t0
         assert r.get("ok"), r
         lat.append(dt)
+        samples.append(r.get("samples", 0))
         print(f"request {j}: {dt:.3f} s ({r.get('samples')} samples)")
     steady = lat[1:] if len(lat) > 1 else lat
+    steady_samples = samples[1:] if len(samples) > 1 else samples
     print(json.dumps({
         "mode": "sequential", "requests": args.requests,
         "first_s": round(lat[0], 3),
         "steady_mean_s": round(sum(steady) / len(steady), 4),
         "steady_min_s": round(min(steady), 4),
         "samples_per_s_steady": round(
-            8 / (sum(steady) / len(steady)), 1),
+            sum(steady_samples) / sum(steady), 1),
     }))
 
 
