@@ -175,6 +175,7 @@ def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
+    store_dtype=None,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -213,7 +214,20 @@ def build_fast_forward(
     + conv2 64 share one gather + one aggregation einsum) instead of twice
     — the diagonal lands on an appended always-zero pair slot. Values are
     identical to the unstacked path (same contractions, same multiply
-    order; tests/test_fast_forward.py)."""
+    order; tests/test_fast_forward.py).
+
+    store_dtype (round 4) narrows the STORAGE dtype of the step's largest
+    intermediate tensors — the filter-MLP outputs, their (B, N, N, F)
+    dense mirrors, and the GIN message mirror — which the roofline
+    (tools/roofline.py, README) identified as the binding resource: the
+    step is HBM-traffic-bound and these buffers are f32 today (every
+    filter matmul accumulates via preferred_element_type=f32 and the f32
+    result is what materializes between fusions). With store_dtype set
+    (jnp.bfloat16 or jnp.float8_e4m3fn) those buffers materialize narrow
+    and the aggregation contractions run compute_dtype inputs with f32
+    accumulation; the score-head MLPs also run at compute_dtype instead
+    of silently promoting to f32. NOT value-identical — quality-gated
+    like approx (engines fast-slim / fast-slim8 in tools/ab_engines.py)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -230,6 +244,9 @@ def build_fast_forward(
     if stack_filters and (use_pallas or not pack_pairs):
         raise ValueError("stack_filters requires pack_pairs=True and the "
                          "XLA path (use_pallas=False)")
+    if store_dtype is not None and (use_pallas or stack_filters):
+        raise ValueError("store_dtype narrows the XLA-path buffers; it is "
+                         "not supported with use_pallas or stack_filters")
     cfg = config
     if approx:
         from agdiff_tpu.ops import approx as _ax
@@ -253,6 +270,11 @@ def build_fast_forward(
     folded = fold_eval_params(config, variables)
     ee, ee_local = folded["ee"], folded["ee_local"]
     blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
+    sdt = store_dtype
+    if sdt is not None and filter_dtype is None:
+        # narrow storage implies narrow filter-matmul inputs too, else the
+        # e_packed.astype(f32) copies reintroduce the f32 traffic
+        filter_dtype = compute_dtype
     fdt = filter_dtype or jnp.float32
     if filter_dtype is not None:
         for _blk in blocks:
@@ -261,6 +283,13 @@ def build_fast_forward(
                 _conv["fb"] = (_conv["fb"][0].astype(fdt), _conv["fb"][1])
     gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
     grad_global, grad_local = folded["grad_global"], folded["grad_local"]
+    if sdt is not None:
+        # score heads at compute_dtype: today a bf16 `pair` silently
+        # promotes to f32 against the f32 weights, materializing f32
+        # copies of the (B, P, 2F) inputs; the final matmul below keeps
+        # an f32 accumulator either way
+        grad_global = tuple(p.astype(compute_dtype) for p in grad_global)
+        grad_local = tuple(p.astype(compute_dtype) for p in grad_local)
 
     stacked = None
     if stack_filters:
@@ -333,7 +362,13 @@ def build_fast_forward(
                 + conv["fa"][1], conv["beta"])
         w = (jnp.matmul(w.astype(fdt), conv["fb"][0],
                         preferred_element_type=jnp.float32)
-             + conv["fb"][1]) * w_edge[..., None]
+             + conv["fb"][1])
+        if sdt is not None:
+            w = (w.astype(sdt).astype(compute_dtype)
+                 * w_edge[..., None].astype(compute_dtype))
+            return jnp.einsum("bijf,bjf->bif", w, x.astype(compute_dtype),
+                              preferred_element_type=jnp.float32)
+        w = w * w_edge[..., None]
         return jnp.einsum("bijf,bjf->bif", w, x)
 
     def cf_pathway_packed(conv, h, e_packed, pair_id, el, env_mask):
@@ -348,6 +383,14 @@ def build_fast_forward(
         wp = jnp.matmul(wp.astype(fdt), conv["fb"][0],
                         preferred_element_type=jnp.float32) \
             + conv["fb"][1]                             # (B, P, F)
+        if sdt is not None:
+            # narrow STORAGE of the filter output and its dense mirror (the
+            # step's largest buffers); the aggregation contraction runs
+            # compute_dtype inputs with an f32 accumulator
+            w = (wp.astype(sdt)[:, pair_id].astype(compute_dtype)
+                 * w_edge[..., None].astype(compute_dtype))
+            return jnp.einsum("bijf,bjf->bif", w, x.astype(compute_dtype),
+                              preferred_element_type=jnp.float32)
         w = wp[:, pair_id] * w_edge[..., None]          # (B, N, N, F)
         return jnp.einsum("bijf,bjf->bif", w, x)
 
@@ -359,7 +402,9 @@ def build_fast_forward(
         )
         x = act(pair @ params6[0] + params6[1])
         y = act(x @ params6[2] + params6[3])
-        packed = (y @ params6[4] + params6[5])[..., 0]  # (B, P)
+        packed = (jnp.matmul(y, params6[4],
+                             preferred_element_type=jnp.float32)
+                  + params6[5].astype(jnp.float32))[..., 0]  # (B, P)
         score = packed[:, pair_id]                      # (B, N, N) mirrored
         return jnp.where(mask, score, 0.0)
 
@@ -476,6 +521,10 @@ def build_fast_forward(
                 e_packed_local = encode(
                     ee_local, el_packed, type_packed).astype(compute_dtype)
                 edge_attr_local = e_packed_local[:, pair_id, :]
+            if sdt is not None:
+                # the GIN message mirror is read by every GIN layer; store
+                # it narrow (the adds below upcast to compute_dtype)
+                edge_attr_local = e_packed_local.astype(sdt)[:, pair_id, :]
         else:
             edge_attr = encode(ee, el, edge_type).astype(compute_dtype)
             edge_attr_local = (
@@ -510,7 +559,14 @@ def build_fast_forward(
         # --- GIN local branch ---
         hl = gin_emb[batch.atom_type]
         for i, layer in enumerate(gin_layers):
-            if use_pallas and compute_dtype == jnp.float32:
+            if sdt is not None:
+                msg = jax.nn.relu(hl[:, None, :, :].astype(compute_dtype)
+                                  + edge_attr_local.astype(compute_dtype))
+                agg = jnp.einsum(
+                    "bij,bijh->bih", local_mask.astype(compute_dtype), msg,
+                    preferred_element_type=jnp.float32,
+                )
+            elif use_pallas and compute_dtype == jnp.float32:
                 # bf16 GINE blocks fail Mosaic layout inference on this
                 # toolchain; bf16 mode uses the XLA path below instead
                 agg = gine_aggregate(hl.astype(compute_dtype),

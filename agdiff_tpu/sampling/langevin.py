@@ -308,7 +308,7 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                        compute_dtype=None, engine: Optional[str] = None,
                        pair_capacity: Optional[int] = None,
                        shared_pairs: bool = False, tabulate: int = 0,
-                       mesh=None, filter_dtype=None):
+                       mesh=None, filter_dtype=None, store_dtype=None):
     """Sampler over an optimized inference path. engine:
       * None/'xla'/'pallas' — models/fast_forward.py (folded BatchNorm;
         'pallas' adds the per-consumer fused kernels);
@@ -322,7 +322,11 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         approximations in ops/approx.py (quality-gated, not bit-exact);
       * 'mono' — ops/pallas/monolithic.py, the whole per-step forward as ONE
         Pallas kernel (edge tensors never leave VMEM; measured SLOWER than
-        XLA fusion at bf16 — kept as the kernel-design testbed).
+        XLA fusion at bf16 — kept as the kernel-design testbed);
+      * 'slim' / 'slim8' — the xla engine with narrow STORAGE of the
+        step's largest buffers (store_dtype=bfloat16 / float8_e4m3fn,
+        fast_forward.py) — the step is HBM-traffic-bound (roofline) and
+        those buffers are f32 today (quality-gated, not bit-exact).
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -349,6 +353,11 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     approx = engine in ("approx", "tight-approx")
     if approx:
         engine = "tight" if engine == "tight-approx" else None
+    if engine in ("slim", "slim8"):
+        if store_dtype is None:
+            store_dtype = (jnp.float8_e4m3fn if engine == "slim8"
+                           else jnp.bfloat16)
+        engine = None
     if engine == "tight":
         from agdiff_tpu.models.tight_forward import build_tight_forward
 
@@ -372,7 +381,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         compute_dtype=compute_dtype,
                                         approx=approx,
                                         filter_dtype=filter_dtype,
-                                        stack_filters=(engine == "stack"))
+                                        stack_filters=(engine == "stack"),
+                                        store_dtype=store_dtype)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -77,6 +77,45 @@ class TestFastForward:
                                  stack_filters=True)
         _compare(fwd(batch), golden)
 
+    def test_slim_storage_variant_close_to_module(self, setup):
+        """store_dtype=bfloat16 narrows only STORAGE (f32 accumulation
+        everywhere); scores must track the module to bf16 quantization
+        error. Quality-gated like approx — not bit-exact."""
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 store_dtype=jnp.bfloat16)
+        out = fwd(batch)
+        em = np.asarray(golden.edge_mask)
+        lm = np.asarray(golden.local_mask)
+        np.testing.assert_array_equal(np.asarray(out.edge_mask), em)
+        g = np.where(em, np.asarray(golden.edge_inv_global), 0)
+        s = np.where(em, np.asarray(out.edge_inv_global), 0)
+        scale = max(np.abs(g).max(), 1e-6)
+        assert np.abs(s - g).max() / scale < 0.05, (
+            f"slim global scores off by {np.abs(s - g).max() / scale:.3f} "
+            "relative")
+        gl = np.where(lm, np.asarray(golden.edge_inv_local), 0)
+        sl = np.where(lm, np.asarray(out.edge_inv_local), 0)
+        scale_l = max(np.abs(gl).max(), 1e-6)
+        assert np.abs(sl - gl).max() / scale_l < 0.05
+
+    def test_slim8_storage_variant_finite_and_correlated(self, setup):
+        """store_dtype=float8_e4m3fn: aggressive 1-byte storage. fp8 has
+        ~6% max relative quantization error per element; after masked
+        aggregation the scores must stay finite and strongly correlated
+        with the module's (the quality gate proper is the paired protocol
+        eval, tools/ab_engines.py + cli.generate --engine slim8)."""
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 store_dtype=jnp.float8_e4m3fn)
+        out = fwd(batch)
+        em = np.asarray(golden.edge_mask)
+        g = np.where(em, np.asarray(golden.edge_inv_global), 0).ravel()
+        s = np.where(em, np.asarray(out.edge_inv_global), 0).ravel()
+        assert np.isfinite(s).all()
+        corr = np.corrcoef(g, s)[0, 1]
+        assert corr > 0.99, f"slim8 decorrelated from module: r={corr:.4f}"
+
     def test_pallas_variant_matches_module(self, setup, monkeypatch):
         monkeypatch.setattr(fused, "_INTERPRET", True)
         cfg, batch, variables, golden = setup

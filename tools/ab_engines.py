@@ -22,6 +22,8 @@ def main():
                          "fast-tight-pg (per-graph pair lists), "
                          "fast-approx / fast-tight-approx (polynomial "
                          "transcendentals, ops/approx.py), "
+                         "fast-slim / fast-slim8 (bf16 / fp8 storage of "
+                         "the largest per-edge buffers), "
                          "fast-pallas, fast-mono")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
@@ -78,6 +80,7 @@ def main():
                       "fast-tight-approx": "tight-approx",
                       "fast-bf16f": None, "fast-tight-bf16f": "tight",
                       "fast-stack": "stack",
+                      "fast-slim": "slim", "fast-slim8": "slim8",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine in ("tight", "tight-approx") else None)

@@ -99,7 +99,8 @@ def main():
     rows = []
     for name in args.engines.split(","):
         engine = {"fast-xla": None, "fast-stack": "stack",
-                  "fast-tight": "tight", "fast-mono": "mono"}[name]
+                  "fast-tight": "tight", "fast-mono": "mono",
+                  "fast-slim": "slim", "fast-slim8": "slim8"}[name]
         cap = (pair_capacity_for(len(mols[0].atom_type))
                if engine == "tight" else None)
         fn = build_fast_sampler(config, variables, diffusion, scfg,
