@@ -78,12 +78,15 @@ def main(argv=None):
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--engine", default=None,
-                    choices=["xla", "tight", "mono", "approx", "tight-approx"],
+                    choices=["xla", "tight", "mono", "approx", "tight-approx",
+                             "slim", "slim8"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "
                          "approx/tight-approx = polynomial transcendentals "
-                         "(ops/approx.py, quality-gated)")
+                         "(ops/approx.py, quality-gated); slim/slim8 = "
+                         "bf16/fp8 storage of the largest per-edge buffers "
+                         "(quality-gated)")
     ap.add_argument("--fast", action="store_true",
                     help="optimized inference path (folded BN + Pallas)")
     ap.add_argument("--packed", action="store_true",
