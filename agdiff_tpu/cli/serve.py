@@ -78,7 +78,8 @@ def main(argv=None):
     ap.add_argument("--num_devices", type=int, default=0)
     ap.add_argument("--engine", default=None,
                     choices=["xla", "tight", "mono", "approx",
-                             "tight-approx"])
+                             "tight-approx", "slim", "slim8",
+                             "tight-slim", "tight-slim8"])
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--dtype", default=None,

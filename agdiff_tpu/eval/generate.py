@@ -29,6 +29,10 @@ from agdiff_tpu.data.bucketing import pad_molecules, pick_bucket
 from agdiff_tpu.models.schedules import Diffusion
 from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
 
+# engine names that run models/tight_forward.py (per-molecule pair
+# capacity + shared pair lists apply to all of them)
+_TIGHT_ENGINES = ("tight", "tight-approx", "tight-slim", "tight-slim8")
+
 
 def _cpu_device():
     """The local CPU device, for eager PRNG-key arithmetic. On the remote
@@ -226,7 +230,7 @@ class GenerationRunner:
                     self.model_config, self.variables, self.diffusion, cfg,
                     use_pallas=False, engine=engine,
                     pair_capacity=capacity,
-                    shared_pairs=(engine in ("tight", "tight-approx")
+                    shared_pairs=(engine in _TIGHT_ENGINES
                                   and self._tight_shared),
                     mesh=self.mesh,
                 )
@@ -285,7 +289,7 @@ class GenerationRunner:
             return bucket
 
     def _capacity_for(self, mol: Molecule, engine: Optional[str]):
-        if engine not in ("tight", "tight-approx"):
+        if engine not in _TIGHT_ENGINES:
             return None
         from agdiff_tpu.models.tight_forward import pair_capacity_for
 
@@ -573,7 +577,7 @@ class PackedGenerationRunner(GenerationRunner):
         for i, mol, ns in todo:
             bucket = self._bucket_for(mol)
             size = (mol.num_nodes
-                    if self._engine_for(bucket) in ("tight", "tight-approx")
+                    if self._engine_for(bucket) in _TIGHT_ENGINES
                     else None)
             by_group.setdefault((bucket, size), []).append((i, mol, ns))
 

@@ -171,7 +171,7 @@ def build_tight_forward(
     config: ModelConfig, variables: Dict[str, Any],
     compute_dtype=jnp.float32, capacity: Optional[int] = None,
     shared: bool = False, tabulate: int = 0, approx: bool = False,
-    filter_dtype=None,
+    filter_dtype=None, store_dtype=None,
 ):
     """Returns forward(batch, ..., pairs=None) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). `capacity` is the static
@@ -184,7 +184,15 @@ def build_tight_forward(
     approximations in ops/approx.py (see fast_forward.build_fast_forward;
     NOT value-identical, quality-gated). filter_dtype=jnp.bfloat16 runs
     the filter-MLP matmuls at bf16 MXU rate with f32 accumulation (see
-    fast_forward.build_fast_forward)."""
+    fast_forward.build_fast_forward). store_dtype narrows the STORAGE
+    dtype of the engine's remaining f32 buffers (roofline: the tight step
+    is HBM-traffic-bound at Drugs size too) — the GIN message tensors and
+    their edge-feature operand (the fast path's analog narrows the GIN
+    mirror), the pair-score MLP chains (today f32 via bias promotion),
+    and the packed filter weights (sub-compute-dtype only matters for
+    fp8) — keeping f32 accumulation on every contraction. NOT
+    value-identical; quality-gated like the fast path's slim engines
+    (cli.generate --engine tight-slim / tight-slim8)."""
     cfg = config
     if cfg.edge_encoder != "mlp":
         raise NotImplementedError(
@@ -217,6 +225,11 @@ def build_tight_forward(
     f32 = jnp.float32
 
     folded = fold_eval_params(config, variables)
+    sdt = store_dtype
+    if sdt is not None and filter_dtype is None:
+        # narrow storage implies narrow filter-matmul inputs too (the f32
+        # first-layer output would otherwise materialize between fusions)
+        filter_dtype = compute_dtype
     fdt = filter_dtype or f32
     if filter_dtype is not None:
         for _blk in folded["blocks"]:
@@ -247,15 +260,17 @@ def build_tight_forward(
         return (jnp.einsum("ben,bnf->bef", pk.oh_i, node),
                 jnp.einsum("ben,bnf->bef", pk.oh_j, node))
 
-    def scatter_pairs(msg_i, msg_j, pk: PairPack):
+    def scatter_pairs(msg_i, msg_j, pk: PairPack, pet=None):
         """Sum pair messages back to their endpoint nodes: (B, E, F) x2 ->
         (B, N, F). msg_i lands on endpoint i, msg_j on endpoint j. The
-        one-hot selectors zero pad slots in both layouts."""
+        one-hot selectors zero pad slots in both layouts. pet forces the
+        accumulator/output dtype (f32 for narrow-storage messages)."""
+        kw = {} if pet is None else {"preferred_element_type": pet}
         if pk.shared:
-            return (jnp.einsum("bef,en->bnf", msg_i, pk.oh_i)
-                    + jnp.einsum("bef,en->bnf", msg_j, pk.oh_j))
-        return (jnp.einsum("ben,bef->bnf", pk.oh_i, msg_i)
-                + jnp.einsum("ben,bef->bnf", pk.oh_j, msg_j))
+            return (jnp.einsum("bef,en->bnf", msg_i, pk.oh_i, **kw)
+                    + jnp.einsum("bef,en->bnf", msg_j, pk.oh_j, **kw))
+        return (jnp.einsum("ben,bef->bnf", pk.oh_i, msg_i, **kw)
+                + jnp.einsum("ben,bef->bnf", pk.oh_j, msg_j, **kw))
 
     def cf_pathway(conv, h_cd, e_p, wedge, pk):
         """One CFConv pathway over packed pairs; returns (B, N, F') f32."""
@@ -264,7 +279,7 @@ def build_tight_forward(
                    + conv["fa"][1], conv["beta"])
         wp = ((jnp.matmul(wflt.astype(fdt), conv["fb"][0],
                           preferred_element_type=f32) + conv["fb"][1])
-              * wedge[..., None]).astype(cd)                 # (B, E, F')
+              * wedge[..., None]).astype(sdt or cd)          # (B, E, F')
         return cf_aggregate(conv, h_cd, wp, pk)
 
     def cf_aggregate(conv, h_cd, wp, pk):
@@ -272,6 +287,7 @@ def build_tight_forward(
         xn = node_input(conv, h_cd).astype(cd)               # (B, N, F')
         xi, xj = gather_pairs(xn, pk)
         k, b = conv["lin2"]
+        wp = wp.astype(cd)  # no-op unless the filters are stored sub-cd
         return scatter_pairs(wp * xj, wp * xi, pk) @ k + b
 
     def lookup_filters(d_p, tp_p, em_p):
@@ -292,11 +308,24 @@ def build_tight_forward(
         return wp_all * gate[..., None].astype(cd)
 
     def pair_scores(params6, h_cd, e_p, pk, mask_p):
-        """Packed pair scores (B, E): MLP3(concat(h_i*h_j, e))."""
+        """Packed pair scores (B, E): MLP3(concat(h_i*h_j, e)). Under
+        store_dtype the hidden chains stay at compute dtype (today the f32
+        biases promote x and y to f32 storage); the final contraction
+        keeps an f32 accumulator either way."""
         hi, hj = gather_pairs(h_cd, pk)
         prod = hi * hj
         k0 = params6[0]
         hdim = prod.shape[-1]
+        if sdt is not None:
+            x = act(prod @ k0[:hdim].astype(prod.dtype)
+                    + e_p @ k0[hdim:].astype(e_p.dtype)
+                    + params6[1].astype(cd))
+            y = act(x.astype(cd) @ params6[2].astype(cd)
+                    + params6[3].astype(cd))
+            s = (jnp.matmul(y, params6[4].astype(cd),
+                            preferred_element_type=f32)
+                 + params6[5].astype(f32))[..., 0]
+            return s * mask_p
         x = act(prod @ k0[:hdim].astype(prod.dtype)
                 + e_p @ k0[hdim:].astype(e_p.dtype) + params6[1])
         y = act(x.astype(cd) @ params6[2].astype(cd) + params6[3])
@@ -394,15 +423,29 @@ def build_tight_forward(
             pair_scores(grad_global, h.astype(cd), e_p, pk, em_p),
             pk, edge_mask, n)
 
-        # --- GIN local branch --- (messages in f32, matching the fast path)
-        e_loc32 = e_p_local.astype(f32)
+        # --- GIN local branch --- (messages in f32, matching the fast
+        # path; under store_dtype the (B, E, H) message tensors and their
+        # edge-feature operand — the engine's largest remaining f32
+        # buffers — run at compute dtype with f32 scatter accumulation)
+        if sdt is not None:
+            e_loc = e_p_local.astype(sdt)
+        else:
+            e_loc = e_p_local.astype(f32)
         lm3 = lm_p[..., None]
         hl = gin_emb[batch.atom_type]
         for i, layer in enumerate(gin_layers):
-            hi, hj = gather_pairs(hl, pk)
-            m_i = jax.nn.relu(hj.astype(f32) + e_loc32) * lm3  # into i
-            m_j = jax.nn.relu(hi.astype(f32) + e_loc32) * lm3  # into j
-            agg = scatter_pairs(m_i, m_j, pk).astype(f32)
+            if sdt is not None:
+                hi, hj = gather_pairs(hl.astype(cd), pk)
+                e_cd = e_loc.astype(cd)
+                lm3c = lm3.astype(cd)
+                m_i = jax.nn.relu(hj + e_cd) * lm3c            # into i
+                m_j = jax.nn.relu(hi + e_cd) * lm3c            # into j
+                agg = scatter_pairs(m_i, m_j, pk, pet=f32)
+            else:
+                hi, hj = gather_pairs(hl, pk)
+                m_i = jax.nn.relu(hj.astype(f32) + e_loc) * lm3  # into i
+                m_j = jax.nn.relu(hi.astype(f32) + e_loc) * lm3  # into j
+                agg = scatter_pairs(m_i, m_j, pk).astype(f32)
             out = hl + agg
             k, bb = layer["l0"]
             out = jax.nn.relu(out @ k + bb)

@@ -326,7 +326,11 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
       * 'slim' / 'slim8' — the xla engine with narrow STORAGE of the
         step's largest buffers (store_dtype=bfloat16 / float8_e4m3fn,
         fast_forward.py) — the step is HBM-traffic-bound (roofline) and
-        those buffers are f32 today (quality-gated, not bit-exact).
+        those buffers are f32 today (quality-gated, not bit-exact);
+      * 'tight-slim' / 'tight-slim8' — the same narrowing applied to the
+        tight engine's remaining f32 buffers (GIN messages, pair-score
+        chains; tight_forward.py) — the tight step is HBM-bound at Drugs
+        size too (quality-gated, not bit-exact).
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -353,11 +357,11 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     approx = engine in ("approx", "tight-approx")
     if approx:
         engine = "tight" if engine == "tight-approx" else None
-    if engine in ("slim", "slim8"):
+    if engine in ("slim", "slim8", "tight-slim", "tight-slim8"):
         if store_dtype is None:
-            store_dtype = (jnp.float8_e4m3fn if engine == "slim8"
+            store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)
-        engine = None
+        engine = "tight" if engine.startswith("tight") else None
     if engine == "tight":
         from agdiff_tpu.models.tight_forward import build_tight_forward
 
@@ -367,7 +371,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                          shared=shared_pairs,
                                          tabulate=tabulate,
                                          approx=approx,
-                                         filter_dtype=filter_dtype)
+                                         filter_dtype=filter_dtype,
+                                         store_dtype=store_dtype)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 

@@ -93,6 +93,48 @@ def test_tight_forward_bf16_close(setup):
     assert np.abs(g - rg).max() / denom < 0.05
 
 
+def test_tight_slim_storage_close_to_module(setup):
+    """store_dtype=bfloat16 on the tight engine (engine 'tight-slim'):
+    narrows the GIN message tensors and the pair-score chains. Same
+    quality bar as the fast path's slim test (tests/test_fast_forward.py)
+    — 5% relative under the masks; the quality gate proper is the paired
+    protocol eval."""
+    config, batch, variables, ref, mols = setup
+    cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
+    fwd = build_tight_forward(config, variables,
+                              compute_dtype=jnp.bfloat16, capacity=cap,
+                              store_dtype=jnp.bfloat16)
+    out = jax.jit(lambda b: fwd(b))(batch)
+    em, lm = np.asarray(ref.edge_mask), np.asarray(ref.local_mask)
+    g = np.where(em, np.asarray(out.edge_inv_global), 0)
+    rg = np.where(em, np.asarray(ref.edge_inv_global), 0)
+    assert np.abs(g - rg).max() / (np.abs(rg).max() + 1e-6) < 0.05
+    li = np.where(lm, np.asarray(out.edge_inv_local), 0)
+    rl = np.where(lm, np.asarray(ref.edge_inv_local), 0)
+    assert np.abs(li - rl).max() / (np.abs(rl).max() + 1e-6) < 0.05
+
+
+def test_tight_slim8_finite_and_correlated(setup):
+    """store_dtype=float8_e4m3fn on the tight engine: scores must stay
+    finite and strongly correlated with the module's (fp8 has ~6% max
+    per-element quantization error)."""
+    config, batch, variables, ref, mols = setup
+    cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
+    fwd = build_tight_forward(config, variables,
+                              compute_dtype=jnp.bfloat16, capacity=cap,
+                              store_dtype=jnp.float8_e4m3fn)
+    out = jax.jit(lambda b: fwd(b))(batch)
+    for plane, refplane, mask in (
+            (out.edge_inv_global, ref.edge_inv_global, ref.edge_mask),
+            (out.edge_inv_local, ref.edge_inv_local, ref.local_mask)):
+        m = np.asarray(mask)
+        s = np.where(m, np.asarray(plane), 0).ravel()
+        r = np.where(m, np.asarray(refplane), 0).ravel()
+        assert np.isfinite(s).all()
+        corr = np.corrcoef(r, s)[0, 1]
+        assert corr > 0.99, f"tight-slim8 decorrelated: r={corr:.4f}"
+
+
 def test_tabulated_filters_match_module(setup):
     """tabulate=K replaces the 12 filter MLPs + learnable softplus +
     distance-weight sigmoids + envelope with one lerp'd table gather; at

@@ -81,9 +81,11 @@ def main():
                       "fast-bf16f": None, "fast-tight-bf16f": "tight",
                       "fast-stack": "stack",
                       "fast-slim": "slim", "fast-slim8": "slim8",
+                      "fast-tight-slim": "tight-slim",
+                      "fast-tight-slim8": "tight-slim8",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
-                   if engine in ("tight", "tight-approx") else None)
+                   if engine and engine.startswith("tight") else None)
             import jax.numpy as jnp
             fdt = (jnp.bfloat16 if name.endswith("bf16f") else None)
             fn = build_fast_sampler(
@@ -92,7 +94,9 @@ def main():
                 engine=engine, pair_capacity=cap,
                 shared_pairs=name in ("fast-tight", "fast-tight-tab",
                                       "fast-tight-approx",
-                                      "fast-tight-bf16f"),
+                                      "fast-tight-bf16f",
+                                      "fast-tight-slim",
+                                      "fast-tight-slim8"),
                 filter_dtype=fdt,
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)

@@ -100,12 +100,15 @@ def main():
     for name in args.engines.split(","):
         engine = {"fast-xla": None, "fast-stack": "stack",
                   "fast-tight": "tight", "fast-mono": "mono",
-                  "fast-slim": "slim", "fast-slim8": "slim8"}[name]
+                  "fast-slim": "slim", "fast-slim8": "slim8",
+                  "fast-tight-slim": "tight-slim",
+                  "fast-tight-slim8": "tight-slim8"}[name]
+        tightish = bool(engine) and engine.startswith("tight")
         cap = (pair_capacity_for(len(mols[0].atom_type))
-               if engine == "tight" else None)
+               if tightish else None)
         fn = build_fast_sampler(config, variables, diffusion, scfg,
                                 engine=engine, pair_capacity=cap,
-                                shared_pairs=(engine == "tight"))
+                                shared_pairs=tightish)
         lowered = fn.lower(batch, pos_init, key)
         compiled = lowered.compile()
         ca = compiled.cost_analysis()
