@@ -206,15 +206,26 @@ class GenerationRunner:
 
     def _engine_for(self, bucket: int) -> Optional[str]:
         """Effective fast-path engine. With no explicit choice, large
-        buckets auto-select 'tight': pair density drops with bucket size
-        and the tight engine measures 1.53x fast-xla at N=40, 2.60x at
-        N=48, 3.18x at N=64 (Drugs size); at N=32 the two are within
-        noise, keep fast-xla."""
+        buckets auto-select the tight layout: pair density drops with
+        bucket size and the tight engine measures 1.53x fast-xla at N=40,
+        2.60x at N=48, 3.18x at N=64 (Drugs size); at N=32 the two are
+        within noise. At bf16 compute both defaults use the narrow-storage
+        (slim, bf16) variant — the step is HBM-traffic-bound (README
+        roofline) and narrowing the fat per-edge buffers measures 1.174x
+        at N=32 and 1.061x at N=64 (round-4 A/B, tools/ab_engines.py) at
+        four-metric quality parity (tools/quality_gate_slim.sh). f32
+        configs keep f32 storage: the narrowing was quality-gated at the
+        production bf16 config, and a user running f32 has asked for
+        full-precision numerics."""
         if self.engine is not None:
             return self.engine
-        if self.use_fast and self._tight_shared and bucket >= 40:
-            return "tight"
-        return None
+        if not self.use_fast:
+            return None
+        slim = (self.model_config is not None
+                and str(self.model_config.dtype) == "bfloat16")
+        if self._tight_shared and bucket >= 40:
+            return "tight-slim" if slim else "tight"
+        return "slim" if slim else None
 
     def _sampler(self, bucket: int, retry: bool, capacity=None,
                  engine=None):

@@ -115,16 +115,26 @@ def main():
                     help="train mode: per-edge tensors on the N(N-1)/2 "
                          "unordered pairs (config.packed_pairs; value/"
                          "gradient-identical, fastest at bf16)")
-    ap.add_argument("--engine", default="fast-xla",
-                    choices=["fast-xla", "fast-tight", "fast-tight-tab",
+    ap.add_argument("--engine", default="fast-slim",
+                    choices=["fast-xla", "fast-slim", "fast-slim8",
+                             "fast-tight", "fast-tight-slim",
+                             "fast-tight-slim8", "fast-tight-tab",
                              "fast-pallas", "fast-mono", "fast-stack",
                              "module"],
-                    help="sampling engine: fast-xla (folded BN + symmetric "
-                         "pair packing), fast-tight (per-graph tight pair "
-                         "lists + MXU one-hot aggregation), fast-pallas "
-                         "(per-consumer fused kernels), fast-mono (whole "
-                         "forward as ONE Pallas kernel, edge tensors "
-                         "VMEM-resident), or the plain flax module path")
+                    help="sampling engine: fast-slim (default: fast-xla + "
+                         "bf16 STORAGE of the largest per-edge buffers — "
+                         "1.174x fast-xla on the HBM-bound step, four-"
+                         "metric quality parity vs the module path, "
+                         "tools/quality_gate_slim.sh), fast-xla (folded BN "
+                         "+ symmetric pair packing, f32 storage), "
+                         "fast-slim8 (fp8 e4m3 storage — measured 0.86x, "
+                         "conversion overhead loses; kept as documented "
+                         "negative), fast-tight[-slim] (per-graph tight "
+                         "pair lists + MXU one-hot aggregation), "
+                         "fast-pallas (per-consumer fused kernels), "
+                         "fast-mono (whole forward as ONE Pallas kernel, "
+                         "edge tensors VMEM-resident), or the plain flax "
+                         "module path")
     ap.add_argument("--edge-attention", default="softmax_dim1",
                     choices=["softmax_dim1", "none", "sigmoid"],
                     help="'none' skips the reference's identity softmax "
@@ -203,7 +213,8 @@ def main():
             from agdiff_tpu.sampling.langevin import build_fast_sampler
 
             cap = None
-            tight = args.engine in ("fast-tight", "fast-tight-tab")
+            tight = args.engine in ("fast-tight", "fast-tight-tab",
+                                    "fast-tight-slim", "fast-tight-slim8")
             if tight:
                 # the bench batch is one molecule repeated (the reference
                 # generation pattern) -> the shared pair list applies
@@ -211,8 +222,11 @@ def main():
             fast = build_fast_sampler(
                 config, variables, diffusion, cfg_s,
                 use_pallas=(args.engine == "fast-pallas"),
-                engine="tight" if tight else {
-                    "fast-mono": "mono", "fast-stack": "stack"}.get(
+                engine={"fast-tight": "tight", "fast-tight-tab": "tight",
+                        "fast-tight-slim": "tight-slim",
+                        "fast-tight-slim8": "tight-slim8",
+                        "fast-mono": "mono", "fast-stack": "stack",
+                        "fast-slim": "slim", "fast-slim8": "slim8"}.get(
                     args.engine),
                 pair_capacity=cap,
                 shared_pairs=tight,
@@ -333,10 +347,11 @@ def _bench_drugs_row(args):
     """Measure the Drugs-size workload (reference: configs/drugs_default.yml
     — larger molecules, lower pair density): N=64 bucket, B=48, 20 heavy
     atoms, with the engine GenerationRunner auto-selects at bucket >= 40
-    (fast-tight: shared per-graph pair lists + MXU one-hot aggregation,
-    measured 3.18x fast-xla at this size). Reports the full 5000-step
-    protocol and the distilled-n16 few-step protocol (arm Q quality
-    evidence)."""
+    under bf16 (fast-tight-slim: shared per-graph pair lists + MXU one-hot
+    aggregation, narrow bf16 storage of the remaining f32 buffers —
+    tight measured 3.18x fast-xla at this size, slim storage another
+    1.061x on top, round-4 A/B). Reports the full 5000-step protocol and
+    the distilled-n16 few-step protocol (arm Q quality evidence)."""
     import dataclasses
 
     import jax
@@ -367,9 +382,12 @@ def _bench_drugs_row(args):
     )
     pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
 
+    # mirror GenerationRunner._engine_for: narrow storage at bf16 compute
+    eng = "tight-slim" if args.dtype == "bfloat16" else "tight"
+
     def run(cfg_s, key0):
         fast = build_fast_sampler(config, variables, diffusion, cfg_s,
-                                  engine="tight", pair_capacity=cap,
+                                  engine=eng, pair_capacity=cap,
                                   shared_pairs=True)
         t0 = time.perf_counter()
         out = fast(batch, pos_init, jax.random.PRNGKey(key0))
@@ -388,7 +406,7 @@ def _bench_drugs_row(args):
     conf_per_sec = BATCH / (args.protocol_steps / steps_per_sec)
     row = {
         "nodes": NODES, "batch": BATCH, "heavy_atoms": HEAVY,
-        "engine": "fast-tight (auto-selected at bucket >= 40)",
+        "engine": f"fast-{eng} (auto-selected at bucket >= 40)",
         "conf_per_sec": round(conf_per_sec, 2),
         "ms_per_step": round(1000.0 / steps_per_sec, 3),
         "measured_steps": args.bench_steps,

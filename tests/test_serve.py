@@ -26,6 +26,7 @@ def test_warm_classes_grouping():
         engine = None
         buckets = (32, 64)
         _tight_shared = True
+        model_config = None
         _bucket_for = GenerationRunner._bucket_for
         _capacity_for = GenerationRunner._capacity_for
         _engine_for = GenerationRunner._engine_for
@@ -187,9 +188,12 @@ def test_warm_all_sizes_covers_every_bucket_capacity(monkeypatch):
     from agdiff_tpu import Config, ModelConfig
     from agdiff_tpu.models.tight_forward import pair_capacity_for
 
+    # bf16 compute -> the auto-selected engine is the narrow-storage
+    # production default (tight-slim); the warm sweep must key on it
     cfg = Config(model=ModelConfig(hidden_dim=32, num_convs=2,
                                    num_convs_local=2,
-                                   num_diffusion_timesteps=50))
+                                   num_diffusion_timesteps=50,
+                                   dtype="bfloat16"))
     mols = synthetic_dataset(1, seed=9, min_heavy=3, max_heavy=3)
     batch = pad_molecules(mols, 16, batch_size=1)
     model = get_model(cfg.model)
@@ -215,7 +219,7 @@ def test_warm_all_sizes_covers_every_bucket_capacity(monkeypatch):
     runner.warm(probe, retry=False, all_sizes=True)
 
     expected = {pair_capacity_for(n, multiple=256) for n in range(17, 49)}
-    got = {cap for (_, _, cap, eng) in warmed if eng == "tight"}
+    got = {cap for (_, _, cap, eng) in warmed if eng == "tight-slim"}
     assert got == expected, (got, expected)
     # the probe's own capacity is among them
     assert pair_capacity_for(48, multiple=256) in got

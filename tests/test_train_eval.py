@@ -560,6 +560,31 @@ class TestFastRunner:
         b = tight.generate_molecule(mols[0], 4, key)
         np.testing.assert_allclose(a, b, atol=5e-4)
 
+    def test_engine_auto_selection_dtype_gated(self, smoke_config):
+        """bf16 configs auto-select the narrow-storage engines (slim at
+        small buckets, tight-slim at bucket >= 40 — 1.174x / 1.061x,
+        round-4 A/B + quality gate); f32 configs keep full-precision
+        storage (fast-xla / tight). An explicit engine always wins."""
+        import dataclasses
+
+        from agdiff_tpu.eval.generate import GenerationRunner
+
+        r = GenerationRunner.__new__(GenerationRunner)
+        r.engine = None
+        r.use_fast = True
+        r.model_config = smoke_config.model  # f32
+        assert r._engine_for(32) is None
+        assert r._engine_for(64) == "tight"
+        r.model_config = dataclasses.replace(smoke_config.model,
+                                             dtype="bfloat16")
+        assert r._engine_for(32) == "slim"
+        assert r._engine_for(64) == "tight-slim"
+        r.engine = "xla"
+        assert r._engine_for(64) == "xla"
+        r.engine = None
+        r.use_fast = False
+        assert r._engine_for(64) is None
+
     def test_runner_fast_engines_under_mesh(self, smoke_config):
         """use_fast (and engine='tight') with a mesh == without: the runner
         no longer forfeits the fast engines on multi-chip generation."""
