@@ -175,7 +175,7 @@ def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
-    store_dtype=None,
+    store_dtype=None, packed_kernel: bool = False,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -227,7 +227,18 @@ def build_fast_forward(
     and the aggregation contractions run compute_dtype inputs with f32
     accumulation; the score-head MLPs also run at compute_dtype instead
     of silently promoting to f32. NOT value-identical — quality-gated
-    like approx (engines fast-slim / fast-slim8 in tools/ab_engines.py)."""
+    like approx (engines fast-slim / fast-slim8 in tools/ab_engines.py).
+
+    packed_kernel=True (round 4, requires pack_pairs, XLA elsewhere)
+    replaces each interaction block's mirror+aggregate with the fused
+    Pallas kernel ops/pallas/block_packed.py: the filter MLPs run on the
+    packed pairs IN VMEM and aggregation goes straight to nodes via the
+    static one-hot endpoint selectors — no (B, N, N, F) filter mirror
+    (the step's dominant HBM traffic per tools/hlo_traffic.py) ever
+    materializes. Distance weights/envelope/mask are computed packed in
+    XLA and passed as (B, P) scalar planes. Value-equivalent to the
+    packed XLA path up to f32-accumulation ordering; composes with
+    store_dtype (which still narrows the GIN mirror + score heads)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -247,6 +258,9 @@ def build_fast_forward(
     if store_dtype is not None and (use_pallas or stack_filters):
         raise ValueError("store_dtype narrows the XLA-path buffers; it is "
                          "not supported with use_pallas or stack_filters")
+    if packed_kernel and (use_pallas or stack_filters or not pack_pairs):
+        raise ValueError("packed_kernel requires pack_pairs=True and is "
+                         "exclusive with use_pallas/stack_filters")
     cfg = config
     if approx:
         from agdiff_tpu.ops import approx as _ax
@@ -426,7 +440,7 @@ def build_fast_forward(
 
     def schnet_block(blk, h, edge_attr, el, env_mask, *,
                      e_packed=None, pair_id=None,
-                     w_cat=None, pair_id_ext=None):
+                     w_cat=None, pair_id_ext=None, pk=None):
         """One dual-pathway interaction-block update h -> h (the reusable
         stage body: also the pipeline-parallel stage fn, parallel/pipeline).
 
@@ -435,7 +449,21 @@ def build_fast_forward(
         edge mask. pair_id_ext mirrors it to dense with the diagonal mapped
         to the appended always-zero pair slot P."""
         c1, c2 = blk["convs"]
-        if w_cat is not None:
+        if pk is not None:
+            from agdiff_tpu.ops.pallas.block_packed import (
+                packed_block_aggregate,
+            )
+
+            e_p, el_p, env_p = pk
+            we1 = dweight(c1, el_p) * env_p              # (B, P) f32
+            we2 = dweight(c2, el_p) * env_p
+            a1, a2 = packed_block_aggregate(
+                e_p, we1, we2,
+                node_input(c1, h).astype(e_p.dtype),
+                node_input(c2, h).astype(e_p.dtype),
+                c1, c2, softplus_fn=sp_fn,
+            )
+        elif w_cat is not None:
             x_cat = jnp.concatenate(
                 [node_input(c1, h), node_input(c2, h)], axis=-1)
             w_ext = jnp.concatenate(
@@ -541,6 +569,12 @@ def build_fast_forward(
             for blk, w_cat in zip(blocks, w_cats):
                 h = schnet_block(blk, h, edge_attr, el, env_mask,
                                  w_cat=w_cat, pair_id_ext=pair_id_ext)
+        elif packed_kernel:
+            env_p = (envelope(el_packed[..., 0], cfg)
+                     * edge_mask[:, iu, ju].astype(jnp.float32))
+            pk_ctx = (e_packed, el_packed, env_p)
+            for blk in blocks:
+                h = schnet_block(blk, h, edge_attr, el, env_mask, pk=pk_ctx)
         else:
             for blk in blocks:
                 h = schnet_block(blk, h, edge_attr, el, env_mask,

@@ -330,7 +330,12 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
       * 'tight-slim' / 'tight-slim8' — the same narrowing applied to the
         tight engine's remaining f32 buffers (GIN messages, pair-score
         chains; tight_forward.py) — the tight step is HBM-bound at Drugs
-        size too (quality-gated, not bit-exact).
+        size too (quality-gated, not bit-exact);
+      * 'pk' — the slim engine with every interaction block's
+        mirror+aggregate replaced by the fused packed-pair Pallas kernel
+        (ops/pallas/block_packed.py): filter MLPs + one-hot endpoint
+        aggregation in VMEM, no (B, N, N, F) filter mirrors in HBM — the
+        dominant traffic of the slim step (tools/hlo_traffic.py).
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -357,7 +362,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     approx = engine in ("approx", "tight-approx")
     if approx:
         engine = "tight" if engine == "tight-approx" else None
-    if engine in ("slim", "slim8", "tight-slim", "tight-slim8"):
+    packed_kernel = engine == "pk"
+    if engine in ("slim", "slim8", "tight-slim", "tight-slim8", "pk"):
         if store_dtype is None:
             store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)
@@ -387,7 +393,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         approx=approx,
                                         filter_dtype=filter_dtype,
                                         stack_filters=(engine == "stack"),
-                                        store_dtype=store_dtype)
+                                        store_dtype=store_dtype,
+                                        packed_kernel=packed_kernel)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(
