@@ -175,7 +175,7 @@ def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
-    store_dtype=None, packed_kernel: bool = False,
+    store_dtype=None, packed_kernel: bool = False, score_dots: bool = False,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -408,13 +408,34 @@ def build_fast_forward(
         w = wp[:, pair_id] * w_edge[..., None]          # (B, N, N, F)
         return jnp.einsum("bijf,bjf->bif", w, x)
 
-    def pair_scores_packed(params6, h, e_packed, iu, ju, pair_id, mask):
+    def pair_scores_packed(params6, h, e_packed, iu, ju, pair_id, mask,
+                           sel=None):
         # h_i * h_j over unordered pairs only, then mirror via pair_id
-        prod = h[:, iu, :] * h[:, ju, :]              # (B, P, C)
-        pair = jnp.concatenate(
-            [prod, e_packed.astype(prod.dtype)], axis=-1
-        )
-        x = act(pair @ params6[0] + params6[1])
+        if sel is not None:
+            # endpoint rows via one-hot MXU dots instead of gathers: exact
+            # (each output row sums exactly one nonzero) and avoids the
+            # P-major layout copies XLA inserts to feed the gathers
+            # (tools/hlo_traffic.py); the concat is split into two matmuls
+            # against the row-partitioned first layer (same math, two f32
+            # accumulators instead of one).
+            ei, ej = sel
+            hi = jnp.einsum("pn,bnc->bpc", ei.astype(h.dtype), h,
+                            preferred_element_type=jnp.float32).astype(
+                h.dtype)
+            hj = jnp.einsum("pn,bnc->bpc", ej.astype(h.dtype), h,
+                            preferred_element_type=jnp.float32).astype(
+                h.dtype)
+            prod = hi * hj                              # (B, P, C)
+            c = prod.shape[-1]
+            x = act(prod @ params6[0][:c]
+                    + e_packed.astype(prod.dtype) @ params6[0][c:]
+                    + params6[1])
+        else:
+            prod = h[:, iu, :] * h[:, ju, :]            # (B, P, C)
+            pair = jnp.concatenate(
+                [prod, e_packed.astype(prod.dtype)], axis=-1
+            )
+            x = act(pair @ params6[0] + params6[1])
         y = act(x @ params6[2] + params6[3])
         packed = (jnp.matmul(y, params6[4],
                              preferred_element_type=jnp.float32)
@@ -455,8 +476,8 @@ def build_fast_forward(
             )
 
             e_p, el_p, env_p = pk
-            we1 = dweight(c1, el_p) * env_p              # (B, P) f32
-            we2 = dweight(c2, el_p) * env_p
+            we1 = dweight(c1, el_p) * env_p              # (B, P) f32 —
+            we2 = dweight(c2, el_p) * env_p              # XLA fuses these
             a1, a2 = packed_block_aggregate(
                 e_p, we1, we2,
                 node_input(c1, h).astype(e_p.dtype),
@@ -533,6 +554,14 @@ def build_fast_forward(
             pair_id_np = pair_id_np + pair_id_np.T  # diagonal -> pair 0 (masked)
             iu, ju = jnp.asarray(iu_np), jnp.asarray(ju_np)
             pair_id = jnp.asarray(pair_id_np)
+            sel = None
+            if score_dots:
+                p_n = len(iu_np)
+                ei_np = np.zeros((p_n, n), np.float32)
+                ej_np = np.zeros((p_n, n), np.float32)
+                ei_np[np.arange(p_n), iu_np] = 1.0
+                ej_np[np.arange(p_n), ju_np] = 1.0
+                sel = (jnp.asarray(ei_np), jnp.asarray(ej_np))
             if stack_filters:
                 # diagonal -> the appended always-zero pair slot P
                 pid_ext_np = pair_id_np.copy()
@@ -584,7 +613,7 @@ def build_fast_forward(
         if pack_pairs:
             edge_inv_global = pair_scores_packed(
                 grad_global, h.astype(compute_dtype), e_packed, iu, ju,
-                pair_id, edge_mask,
+                pair_id, edge_mask, sel=sel,
             )
         else:
             edge_inv_global = pair_scores(grad_global, h, edge_attr,
@@ -624,7 +653,7 @@ def build_fast_forward(
         if pack_pairs:
             edge_inv_local = pair_scores_packed(
                 grad_local, hl.astype(compute_dtype), e_packed_local, iu, ju,
-                pair_id, local_mask,
+                pair_id, local_mask, sel=sel,
             )
         else:
             edge_inv_local = pair_scores(grad_local, hl, edge_attr_local,

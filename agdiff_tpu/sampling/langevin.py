@@ -363,7 +363,9 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if approx:
         engine = "tight" if engine == "tight-approx" else None
     packed_kernel = engine == "pk"
-    if engine in ("slim", "slim8", "tight-slim", "tight-slim8", "pk"):
+    score_dots = engine == "slim2"
+    if engine in ("slim", "slim2", "slim8", "tight-slim", "tight-slim8",
+                  "pk"):
         if store_dtype is None:
             store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)
@@ -394,7 +396,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         filter_dtype=filter_dtype,
                                         stack_filters=(engine == "stack"),
                                         store_dtype=store_dtype,
-                                        packed_kernel=packed_kernel)
+                                        packed_kernel=packed_kernel,
+                                        score_dots=score_dots)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -122,6 +122,15 @@ class TestFastForward:
         fwd = build_fast_forward(cfg, variables, use_pallas=True)
         _compare(fwd(batch), golden)
 
+    def test_score_dots_variant_matches_module(self, setup):
+        """score_dots=True: pair-score endpoint rows via one-hot MXU dots
+        (exact row selection) + the first score matmul split across the
+        concat — module-equal at f32."""
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 score_dots=True)
+        _compare(fwd(batch), golden)
+
     def test_packed_kernel_variant_matches_module(self, setup, monkeypatch):
         """packed_kernel=True: filter MLPs + one-hot endpoint aggregation
         inside ops/pallas/block_packed.py (no dense filter mirrors). At

@@ -80,7 +80,8 @@ def main():
                       "fast-tight-approx": "tight-approx",
                       "fast-bf16f": None, "fast-tight-bf16f": "tight",
                       "fast-stack": "stack",
-                      "fast-slim": "slim", "fast-slim8": "slim8",
+                      "fast-slim": "slim", "fast-slim2": "slim2",
+                      "fast-slim8": "slim8",
                       "fast-tight-slim": "tight-slim",
                       "fast-tight-slim8": "tight-slim8",
                       "fast-pk": "pk",

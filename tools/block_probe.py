@@ -90,6 +90,12 @@ def main():
             "fb": (jax.random.normal(kb, (F, F), jnp.bfloat16) * s,
                    jnp.zeros((F,), jnp.float32)),
             "beta": jnp.ones((), jnp.float32),
+            "dw1": (jax.random.normal(jax.random.fold_in(ka, 1), (1, 64),
+                                      jnp.float32),
+                    jnp.zeros((64,), jnp.float32)),
+            "dw2": (jax.random.normal(jax.random.fold_in(kb, 1), (64, 1),
+                                      jnp.float32) * 0.1,
+                    jnp.zeros((1,), jnp.float32)),
         }
 
     convs = [(mk_conv(jax.random.fold_in(ks[4], i)),
@@ -124,28 +130,143 @@ def main():
                 softplus_fn=softplus_fn)
         return block
 
+    # --- packed-kernel (ops/pallas/block_packed) variants -----------------
+    import numpy as np
+
+    from agdiff_tpu.ops.pallas import block_packed
+
+    if args.cpu:
+        block_packed._INTERPRET = True
+    iu, ju = np.triu_indices(N, k=1)
+    P = len(iu)
+    e0p = e0[:, iu, ju, :]                                   # (B, P, F)
+    el_p = jnp.abs(jax.random.normal(ks[6], (B, P), jnp.float32)) + 0.5
+    env_p = jax.nn.sigmoid(jax.random.normal(ks[7], (B, P)))
+
+    def mk_block_pk(ablate=None):
+        """full kernel, or an ablated probe-local copy of its body:
+        noagg (skip the per-graph endpoint dots), nomlp (skip the filter
+        MLPs). The per-pair scalar planes (distance weight x envelope x
+        mask) come from XLA like production (in-kernel dw measured +129
+        us/block, round-4 pk-nodw ablation)."""
+        if ablate is None:
+            def block(e_p, c1, c2, h1, h2):
+                return block_packed.packed_block_aggregate(
+                    e_p, env_p, env_p, h1, h2, c1, c2, group=group)
+            return block
+
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kern(ep_ref, we1_ref, we2_ref, x1_ref, x2_ref,
+                 exp_ref, con_ref,
+                 fa1, ba1, fb1, bb1, fa2, ba2, fb2, bb2,
+                 scalars_ref, out1_ref, out2_ref, *, g, p, c):
+            ep = ep_ref[:].reshape(g * p, c)
+            e_exp, e_con = exp_ref[:], con_ref[:]
+
+            def pathway(we_ref, fa, ba, beta, fb, bb, x_ref, out_ref):
+                if ablate == "nomlp":
+                    t = ep.reshape(g, p, c)[..., :fb[:].shape[1]].astype(
+                        jnp.float32)
+                else:
+                    v = jnp.dot(ep, fa[:].astype(ep.dtype),
+                                preferred_element_type=jnp.float32) + ba[:]
+                    v = jax.nn.softplus(beta * v) - 0.6931471805599453
+                    t = jnp.dot(v.astype(ep.dtype), fb[:].astype(ep.dtype),
+                                preferred_element_type=jnp.float32) + bb[:]
+                    t = t.reshape(g, p, t.shape[-1])
+                t = t * we_ref[:][..., None]
+                if ablate == "noagg":
+                    out_ref[:] = jnp.broadcast_to(
+                        jnp.sum(t, axis=1)[:, None, :], out_ref.shape)
+                    return
+                for gi in range(g):
+                    tg2 = jnp.concatenate([t[gi], t[gi]], axis=0)
+                    xg = x_ref[gi].astype(jnp.float32)
+                    xij = jnp.dot(e_exp, xg,
+                                  preferred_element_type=jnp.float32)
+                    out_ref[gi] = jnp.dot(
+                        e_con, tg2 * xij,
+                        preferred_element_type=jnp.float32)
+
+            pathway(we1_ref, fa1, ba1, scalars_ref[0, 0], fb1, bb1,
+                    x1_ref, out1_ref)
+            pathway(we2_ref, fa2, ba2, scalars_ref[0, 1], fb2, bb2,
+                    x2_ref, out2_ref)
+
+        def block(e_p, c1, c2, h1, h2):
+            b, p, c = e_p.shape
+            n = h1.shape[1]
+            g = fused._group_of(b, group)
+            e_exp, e_con = block_packed._selectors(n)
+            scalars = jnp.stack([
+                c1["beta"].reshape(()), c2["beta"].reshape(())]).reshape(1, 2)
+            vm = pltpu.VMEM
+            args_ = [e_p, env_p, env_p, h1, h2, e_exp, e_con,
+                     c1["fa"][0], c1["fa"][1], c1["fb"][0], c1["fb"][1],
+                     c2["fa"][0], c2["fa"][1], c2["fb"][0], c2["fb"][1],
+                     scalars]
+            in_specs = [
+                pl.BlockSpec((g, p, c), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((g, p), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((g, p), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((g, n, F), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((g, n, F), lambda i: (i, 0, 0),
+                             memory_space=vm),
+            ] + [fused._wspec(a) for a in args_[5:15]] + [
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+            return pl.pallas_call(
+                functools.partial(kern, g=g, p=p, c=c),
+                grid=(b // g,),
+                in_specs=in_specs,
+                out_specs=(pl.BlockSpec((g, n, F), lambda i: (i, 0, 0),
+                                        memory_space=vm),
+                           pl.BlockSpec((g, n, F), lambda i: (i, 0, 0),
+                                        memory_space=vm)),
+                out_shape=(jax.ShapeDtypeStruct((b, n, F), jnp.float32),
+                           jax.ShapeDtypeStruct((b, n, F), jnp.float32)),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+                interpret=block_packed._INTERPRET,
+            )(*args_)
+
+        return block
+
     blocks_impl = {
         "none": None,
+        "none-p": "packed-scaffold",
         "read": block_read,
         "xla": block_xla,
         "pallas": mk_block_pallas(jax.nn.softplus),
         "pallas-approx": mk_block_pallas(approx.softplus),
+        "pk": mk_block_pk(),
+        "pk-noagg": mk_block_pk("noagg"),
+        "pk-nomlp": mk_block_pk("nomlp"),
     }
 
-    def mk_stack(block):
+    def mk_stack(block, packed):
         def step(carry, _):
             h1, h2 = carry
             # fresh edge tensor each iteration (prevents filter hoisting;
-            # costs 2 HBM passes, identical in every variant incl. 'none')
+            # costs HBM passes identical across same-scaffold variants)
             s = 1.0 + 1e-6 * jnp.mean(h1)
-            e = (e0.astype(jnp.float32) * s).astype(jnp.bfloat16)
-            if block is not None:
+            if packed:
+                e = (e0p.astype(jnp.float32) * s).astype(jnp.bfloat16)
+            else:
+                e = (e0.astype(jnp.float32) * s).astype(jnp.bfloat16)
+            if not isinstance(block, str) and block is not None:
                 for c1, c2 in convs:
                     o1, o2 = block(e, c1, c2, h1, h2)
                     h1 = 0.9 * h1 + 0.1 * jnp.tanh(o1)
                     h2 = 0.9 * h2 + 0.1 * jnp.tanh(o2)
             else:
-                h1 = h1 + 1e-9 * jnp.sum(e[:, 0, 0, :])
+                h1 = h1 + 1e-9 * jnp.sum(e[:, 0, 0])
             return (h1, h2), ()
 
         @jax.jit
@@ -157,9 +278,10 @@ def main():
         return run
 
     results = {}
-    base = None
+    bases = {False: None, True: None}
     for name in args.variants.split(","):
-        run = mk_stack(blocks_impl[name])
+        packed = name.startswith("pk") or name == "none-p"
+        run = mk_stack(blocks_impl[name], packed)
         t0 = time.perf_counter()
         out = run(h1_0, h2_0)
         _ = jax.device_get(out[0])
@@ -172,9 +294,10 @@ def main():
             ts.append(time.perf_counter() - t0)
         total = min(ts)
         entry = {"total_s": round(total, 3), "compile_s": round(compile_s, 1)}
-        if name == "none":
-            base = total
+        if name in ("none", "none-p"):
+            bases[packed] = total
         else:
+            base = bases[packed]
             per_block_us = (total - (base or 0.0)) * 1e6 / (args.iters * NB)
             entry["us_per_block"] = round(per_block_us, 1)
         results[name] = entry
