@@ -175,7 +175,7 @@ def build_fast_forward(
     config: ModelConfig, variables: Dict[str, Any], use_pallas: bool = True,
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
-    store_dtype=None, packed_kernel: bool = False, score_dots: bool = False,
+    store_dtype=None, packed_kernel: bool = False, score_dots: bool = True,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -228,6 +228,14 @@ def build_fast_forward(
     accumulation; the score-head MLPs also run at compute_dtype instead
     of silently promoting to f32. NOT value-identical — quality-gated
     like approx (engines fast-slim / fast-slim8 in tools/ab_engines.py).
+
+    score_dots (default True, round 4): the pair-score MLPs read their
+    endpoint node rows via exact one-hot MXU dots instead of gathers
+    (XLA feeds the gathers through P-major layout copies,
+    tools/hlo_traffic.py) and the first score matmul is split across the
+    [prod | e] concat so the (B, P, 2C) concat never materializes.
+    Module-equal at f32 (accumulation regrouping only); measured 1.029x
+    at the QM9 point (round-4 A/B fast-slim vs fast-slim2).
 
     packed_kernel=True (round 4, requires pack_pairs, XLA elsewhere)
     replaces each interaction block's mirror+aggregate with the fused

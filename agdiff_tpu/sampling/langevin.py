@@ -331,6 +331,10 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         tight engine's remaining f32 buffers (GIN messages, pair-score
         chains; tight_forward.py) — the tight step is HBM-bound at Drugs
         size too (quality-gated, not bit-exact);
+      * 'slim2' — alias of 'slim' kept for the round-4 A/B record:
+        score_dots (one-hot-dot pair-score endpoints + split first score
+        matmul) measured 1.029x and is now the default packed-path
+        behavior of every fast_forward engine;
       * 'pk' — the slim engine with every interaction block's
         mirror+aggregate replaced by the fused packed-pair Pallas kernel
         (ops/pallas/block_packed.py): filter MLPs + one-hot endpoint
@@ -363,7 +367,6 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if approx:
         engine = "tight" if engine == "tight-approx" else None
     packed_kernel = engine == "pk"
-    score_dots = engine == "slim2"
     if engine in ("slim", "slim2", "slim8", "tight-slim", "tight-slim8",
                   "pk"):
         if store_dtype is None:
@@ -396,8 +399,7 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         filter_dtype=filter_dtype,
                                         stack_filters=(engine == "stack"),
                                         store_dtype=store_dtype,
-                                        packed_kernel=packed_kernel,
-                                        score_dots=score_dots)
+                                        packed_kernel=packed_kernel)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -42,6 +42,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # warm executables across processes (a cold 250-step ladder costs
+        # ~10 min through the axon tunnel)
+        from agdiff_tpu.cli._common import enable_compilation_cache
+
+        enable_compilation_cache()
 
     from agdiff_tpu.config import ModelConfig
     from agdiff_tpu.data.bucketing import pad_molecules

@@ -62,6 +62,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from agdiff_tpu.cli._common import enable_compilation_cache
+
+        enable_compilation_cache()
     import jax.numpy as jnp
 
     from agdiff_tpu.ops import approx
