@@ -79,7 +79,8 @@ def main(argv=None):
     ap.add_argument("--no_resume", action="store_true")
     ap.add_argument("--engine", default=None,
                     choices=["xla", "tight", "mono", "approx", "tight-approx",
-                             "slim", "slim8", "tight-slim", "tight-slim8"],
+                             "slim", "slim8", "tight-slim", "tight-slim8",
+                             "pk", "pks"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "

@@ -176,6 +176,7 @@ def build_fast_forward(
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
     store_dtype=None, packed_kernel: bool = False, score_dots: bool = True,
+    packed_stack: bool = False,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -246,7 +247,17 @@ def build_fast_forward(
     materializes. Distance weights/envelope/mask are computed packed in
     XLA and passed as (B, P) scalar planes. Value-equivalent to the
     packed XLA path up to f32-accumulation ordering; composes with
-    store_dtype (which still narrows the GIN mirror + score heads)."""
+    store_dtype (which still narrows the GIN mirror + score heads).
+
+    packed_stack=True (round 4) goes one step further than packed_kernel:
+    the ENTIRE interaction stack — all num_convs blocks including the
+    node-side MLPs, attention gate, SE gate and residuals — runs as ONE
+    Pallas kernel (ops/pallas/stack_packed.py). h is carried across
+    blocks in VMEM and e_packed is read from HBM once instead of once
+    per block; the per-block kernel's ~45 us/block of boundary I/O and
+    five of its six dispatch boundaries disappear. Same quality class
+    as packed_kernel (f32-accumulation-order equivalent; bf16 compute
+    runs the node matmuls at bf16 MXU rate like the filter matmuls)."""
     if config.edge_encoder != "mlp":
         raise NotImplementedError(
             "fast_forward supports the 'mlp' edge encoder (both reference "
@@ -269,6 +280,11 @@ def build_fast_forward(
     if packed_kernel and (use_pallas or stack_filters or not pack_pairs):
         raise ValueError("packed_kernel requires pack_pairs=True and is "
                          "exclusive with use_pallas/stack_filters")
+    if packed_stack and (use_pallas or stack_filters or packed_kernel
+                         or not pack_pairs):
+        raise ValueError("packed_stack requires pack_pairs=True and is "
+                         "exclusive with use_pallas/stack_filters/"
+                         "packed_kernel")
     cfg = config
     if approx:
         from agdiff_tpu.ops import approx as _ax
@@ -606,6 +622,18 @@ def build_fast_forward(
             for blk, w_cat in zip(blocks, w_cats):
                 h = schnet_block(blk, h, edge_attr, el, env_mask,
                                  w_cat=w_cat, pair_id_ext=pair_id_ext)
+        elif packed_stack:
+            from agdiff_tpu.ops.pallas.stack_packed import (
+                packed_stack_forward,
+            )
+
+            env_p = (envelope(el_packed[..., 0], cfg)
+                     * edge_mask[:, iu, ju].astype(jnp.float32))
+            we = jnp.stack([dweight(conv, el_packed) * env_p
+                            for blk in blocks for conv in blk["convs"]])
+            h = packed_stack_forward(
+                e_packed, we, h.astype(jnp.float32), blocks,
+                softplus_fn=sp_fn, sigmoid_fn=sig_fn)
         elif packed_kernel:
             env_p = (envelope(el_packed[..., 0], cfg)
                      * edge_mask[:, iu, ju].astype(jnp.float32))

@@ -339,7 +339,12 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         mirror+aggregate replaced by the fused packed-pair Pallas kernel
         (ops/pallas/block_packed.py): filter MLPs + one-hot endpoint
         aggregation in VMEM, no (B, N, N, F) filter mirrors in HBM — the
-        dominant traffic of the slim step (tools/hlo_traffic.py).
+        dominant traffic of the slim step (tools/hlo_traffic.py);
+      * 'pks' — the slim engine with the WHOLE interaction stack as ONE
+        Pallas kernel (ops/pallas/stack_packed.py): h carried across all
+        blocks in VMEM, e_packed read once, node-side block math
+        in-kernel — removes the per-block kernel's dispatch boundaries
+        and boundary I/O that made 'pk' a wash.
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -367,8 +372,9 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if approx:
         engine = "tight" if engine == "tight-approx" else None
     packed_kernel = engine == "pk"
+    packed_stack = engine == "pks"
     if engine in ("slim", "slim2", "slim8", "tight-slim", "tight-slim8",
-                  "pk"):
+                  "pk", "pks"):
         if store_dtype is None:
             store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)
@@ -399,7 +405,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         filter_dtype=filter_dtype,
                                         stack_filters=(engine == "stack"),
                                         store_dtype=store_dtype,
-                                        packed_kernel=packed_kernel)
+                                        packed_kernel=packed_kernel,
+                                        packed_stack=packed_stack)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -160,6 +160,36 @@ class TestFastForward:
         scale = max(np.abs(g).max(), 1e-6)
         assert np.abs(s - g).max() / scale < 0.05
 
+    def test_packed_stack_variant_matches_module(self, setup, monkeypatch):
+        """packed_stack=True (engine 'pks'): the WHOLE interaction stack —
+        filter MLPs, endpoint aggregation, node MLPs, attention + SE gates,
+        residuals — as ONE kernel in ops/pallas/stack_packed.py. At f32
+        compute this is module-equal to accumulation-order noise."""
+        from agdiff_tpu.ops.pallas import stack_packed
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 packed_stack=True)
+        _compare(fwd(batch), golden)
+
+    def test_packed_stack_with_slim_storage(self, setup, monkeypatch):
+        """The production composition (engine 'pks'): whole-stack kernel +
+        store_dtype narrowing of the GIN mirror / score heads."""
+        from agdiff_tpu.ops.pallas import stack_packed
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 packed_stack=True,
+                                 store_dtype=jnp.bfloat16)
+        out = fwd(batch)
+        em = np.asarray(golden.edge_mask)
+        g = np.where(em, np.asarray(golden.edge_inv_global), 0)
+        s = np.where(em, np.asarray(out.edge_inv_global), 0)
+        scale = max(np.abs(g).max(), 1e-6)
+        assert np.abs(s - g).max() / scale < 0.05
+
     def test_trained_weights_not_just_init(self, setup, small_config):
         """Run a few training steps first so BN running stats are non-trivial,
         then check the folded fast path still matches."""

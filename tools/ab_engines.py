@@ -90,7 +90,7 @@ def main():
                       "fast-slim8": "slim8",
                       "fast-tight-slim": "tight-slim",
                       "fast-tight-slim8": "tight-slim8",
-                      "fast-pk": "pk",
+                      "fast-pk": "pk", "fast-pks": "pks",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine and engine.startswith("tight") else None)
