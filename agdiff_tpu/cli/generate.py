@@ -80,7 +80,7 @@ def main(argv=None):
     ap.add_argument("--engine", default=None,
                     choices=["xla", "tight", "mono", "approx", "tight-approx",
                              "slim", "slim8", "tight-slim", "tight-slim8",
-                             "pk", "pks"],
+                             "pk", "pks", "pksg", "pksf"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "

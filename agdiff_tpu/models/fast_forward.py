@@ -285,6 +285,14 @@ def build_fast_forward(
         raise ValueError("packed_stack requires pack_pairs=True and is "
                          "exclusive with use_pallas/stack_filters/"
                          "packed_kernel")
+    if packed_stack is True:
+        packed_stack = "schnet"
+    if packed_stack:
+        from agdiff_tpu.ops.pallas.stack_packed import MODES
+
+        if packed_stack not in MODES:
+            raise ValueError(f"packed_stack mode {packed_stack!r} not in "
+                             f"{MODES}")
     cfg = config
     if approx:
         from agdiff_tpu.ops import approx as _ax
@@ -631,9 +639,25 @@ def build_fast_forward(
                      * edge_mask[:, iu, ju].astype(jnp.float32))
             we = jnp.stack([dweight(conv, el_packed) * env_p
                             for blk in blocks for conv in blk["convs"]])
-            h = packed_stack_forward(
+            ext = {}
+            if packed_stack != "schnet":
+                ext = dict(e_packed_local=e_packed_local,
+                           local_mask_p=local_mask[:, iu, ju],
+                           hl0=gin_emb[batch.atom_type],
+                           gin_layers=gin_layers)
+            if packed_stack == "full":
+                ext.update(grad_global=grad_global, grad_local=grad_local,
+                           act_fn=act)
+            res = packed_stack_forward(
                 e_packed, we, h.astype(jnp.float32), blocks,
-                softplus_fn=sp_fn, sigmoid_fn=sig_fn)
+                mode=packed_stack, softplus_fn=sp_fn, sigmoid_fn=sig_fn,
+                **ext)
+            if packed_stack == "schnet":
+                h = res
+            elif packed_stack == "gin":
+                h, hl_kernel = res
+            else:
+                sg_plane, sl_plane = res
         elif packed_kernel:
             env_p = (envelope(el_packed[..., 0], cfg)
                      * edge_mask[:, iu, ju].astype(jnp.float32))
@@ -646,6 +670,20 @@ def build_fast_forward(
                                  e_packed=e_packed if pack_pairs else None,
                                  pair_id=pair_id if pack_pairs else None)
 
+        if packed_stack == "full":
+            edge_inv_global = jnp.where(edge_mask, sg_plane[:, pair_id],
+                                        0.0)
+            edge_inv_local = jnp.where(local_mask, sl_plane[:, pair_id],
+                                       0.0)
+            return ModelOutput(
+                edge_inv_global=edge_inv_global,
+                edge_inv_local=edge_inv_local,
+                edge_mask=edge_mask,
+                edge_type=edge_type,
+                edge_length=dist,
+                local_mask=local_mask,
+            )
+
         if pack_pairs:
             edge_inv_global = pair_scores_packed(
                 grad_global, h.astype(compute_dtype), e_packed, iu, ju,
@@ -656,8 +694,10 @@ def build_fast_forward(
                                           edge_mask)
 
         # --- GIN local branch ---
-        hl = gin_emb[batch.atom_type]
-        for i, layer in enumerate(gin_layers):
+        hl = (hl_kernel if packed_stack == "gin"
+              else gin_emb[batch.atom_type])
+        for i, layer in enumerate(gin_layers if packed_stack != "gin"
+                                  else []):
             if sdt is not None:
                 msg = jax.nn.relu(hl[:, None, :, :].astype(compute_dtype)
                                   + edge_attr_local.astype(compute_dtype))

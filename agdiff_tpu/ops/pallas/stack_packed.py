@@ -1,4 +1,4 @@
-"""Whole-stack packed-pair SchNet kernel: all interaction blocks in VMEM.
+"""Whole-forward packed-pair kernel: interaction stack (+GIN, +scores) in VMEM.
 
 The per-block packed kernel (ops/pallas/block_packed.py) is ~3x faster
 than the XLA block in isolation (136.5 vs 420 us/block, round-4
@@ -8,34 +8,45 @@ re-materialize their (B, N, F) node inputs/outputs + re-read the
 (B, P, C) packed edge features at every block boundary — ~45 us/block
 of pure I/O by the pk-noagg/pk-nomlp ablation algebra.
 
-This kernel removes the boundaries instead of the blocks: ONE
-`pallas_call` runs the ENTIRE interaction stack (reference hot loop:
-src/agdiff/models/schnet.py:122-226 — the per-block filter MLPs,
-dual-pathway CFConv aggregation, node MLPs, attention gate, SE gate and
-residual) for a tile of G graphs:
+This kernel removes the boundaries instead of the blocks. ONE
+`pallas_call` runs, per tile of G graphs, up to the ENTIRE per-step
+forward after the edge encoder (reference hot path:
+src/agdiff/models/schnet.py:122-226 + dualenc.py:187-260), in three
+nested modes:
 
-  * the packed edge features (B, P, C) are read from HBM ONCE and stay
-    VMEM-resident for all `num_convs` blocks (the per-block engine reads
-    them 6x);
-  * the node state h is carried ACROSS blocks in registers/VMEM — no
-    per-block (B, N, F) HBM round-trips;
-  * per block it reuses the measured-fastest v5 aggregation: both convs'
-    filter tensors lane-concatenated into one (P, F1+F2) stream and
-    aggregated with the STACKED one-hot endpoint selectors,
-    agg = [EI^T | EJ^T]([t; t] * ([EJ; EI] x)), two MXU dots per graph;
-  * the node-side block math (lin1/lin2, shifted-softplus, combination
-    linear, attention gate, SE scaling, residual) runs in-kernel on the
-    tiny (G*N, F) tensors — its transcendental volume is N/P ~= 1/16th
-    of the filter path's, so exposing it to the VPU is cheap.
+  mode='schnet'  the full interaction stack — per block the filter MLPs
+                 on the packed pairs, the merged-stream one-hot endpoint
+                 aggregation (agg = [EI^T|EJ^T]([t;t] * ([EJ;EI]x)), two
+                 MXU dots per graph — the measured-fastest v5 form), and
+                 the node-side tail (lin1/lin2, shifted-softplus,
+                 combination linear, attention gate, SE gate, residual).
+                 h is carried ACROSS blocks in VMEM; e_packed is read
+                 from HBM once instead of once per block.
+  mode='gin'     + the GIN local branch: per layer the packed message
+                 relu(m * (hl_j + e_ij)) (m in {0,1} commutes with relu)
+                 aggregated with the same stacked selectors, then the
+                 GINE node MLP and residual. Removes the (B, N^2, H)
+                 GIN message mirror and its per-layer re-reads (~0.28
+                 GB/step of the 'pks' XLA residual, tools/hlo_traffic).
+  mode='full'    + both pair-score MLP heads on the packed pairs
+                 (prod = (EI h) * (EJ h) exact one-hot endpoint rows,
+                 first matmul split across the [prod | e] concat as in
+                 fast_forward.pair_scores_packed). The kernel then
+                 outputs ONLY the two (B, P) packed score planes — node
+                 states never touch HBM at all, and the XLA residual
+                 shrinks to the edge encoder + scalar planes + step math.
 
-The distance-weight x envelope x mask scalar planes stay XLA-side
-(computing them in-kernel measured +129 us/block, round-4 pk-nodw
-ablation) and arrive stacked as one (2*NB, B, P) tensor.
-
-Everything in the body is 2-D (g*p, C)/(g*n, F)-shaped between the
-3-D block reads — Mosaic on this toolchain rejects lane-dim-changing
-reshapes, and collapsing leading axes preserves the lane dim. Eval-path
-only (the sampler); training keeps the autodiff-friendly XLA path.
+All MXU contractions run at the engine compute dtype (bf16 in
+production) with f32 accumulators — the same arithmetic the slim XLA
+path performs (its bf16-stored mirrors make every aggregation a
+bf16 x bf16 dot) — so f32 configs remain module-equal to
+accumulation-order noise. The distance-weight x envelope x mask scalar
+planes stay XLA-side (computing them in-kernel measured +129 us/block,
+round-4 pk-nodw ablation) and arrive stacked as one (2*NB, B, P) f32
+tensor. Everything in the body is 2-D between 3-D block reads — Mosaic
+on this toolchain rejects lane-dim-changing reshapes, and collapsing or
+re-expanding leading axes preserves the lane dim. Eval-path only (the
+sampler); training keeps the autodiff-friendly XLA path.
 """
 
 from __future__ import annotations
@@ -54,43 +65,83 @@ _INTERPRET = False  # flipped by tests on CPU
 
 LN2 = 0.6931471805599453
 
+MODES = ("schnet", "gin", "full")
+
 
 def _leaky(x):
     return jnp.where(x > 0, x, 0.2 * x)
 
 
-def _stack_kernel(ep_ref, we_ref, h0_ref, exp_ref, con_ref,
-                  fa1_ref, ba1_ref, fb1_ref, bb1_ref,
-                  fa2_ref, ba2_ref, fb2_ref, bb2_ref,
-                  l1a_k_ref, l1a_b_ref, l1b_k_ref, l1b_b_ref,
-                  l2a_k_ref, l2a_b_ref, l2b_k_ref, l2b_b_ref,
-                  lin_k_ref, lin_b_ref, att0_k_ref, att0_b_ref,
-                  att1_k_ref, att1_b_ref, se0_ref, se1_ref,
-                  scalars_ref,  # SMEM (NB, 3): [beta1, beta2, act_beta]
-                  out_ref, *, nb, g, p, n, c,
+def _stack_kernel(*refs, nb, nl, g, p, n, c, mode,
                   softplus_fn=jax.nn.softplus,
-                  sigmoid_fn=jax.nn.sigmoid):
+                  sigmoid_fn=jax.nn.sigmoid,
+                  act_fn=jax.nn.relu):
+    it = iter(refs)
+
+    def take(k=1):
+        return next(it) if k == 1 else [next(it) for _ in range(k)]
+
+    ep_ref, we_ref, h0_ref = take(3)
+    if mode != "schnet":
+        epl_ref, lm_ref, hl0_ref = take(3)
+    exp_ref, con_ref = take(2)
+    (fa1_ref, ba1_ref, fb1_ref, bb1_ref,
+     fa2_ref, ba2_ref, fb2_ref, bb2_ref,
+     l1a_k_ref, l1a_b_ref, l1b_k_ref, l1b_b_ref,
+     l2a_k_ref, l2a_b_ref, l2b_k_ref, l2b_b_ref,
+     lin_k_ref, lin_b_ref, att0_k_ref, att0_b_ref,
+     att1_k_ref, att1_b_ref, se0_ref, se1_ref) = take(24)
+    if mode != "schnet":
+        g0k_ref, g0b_ref, g1k_ref, g1b_ref = take(4)
+    if mode == "full":
+        (sg_w1h_ref, sg_w1e_ref, sg_b1_ref, sg_w2_ref, sg_b2_ref,
+         sg_w3_ref, sl_w1h_ref, sl_w1e_ref, sl_b1_ref, sl_w2_ref,
+         sl_b2_ref, sl_w3_ref) = take(12)
+    scalars_ref = take()          # SMEM (NB+1, 3)
+    if mode == "schnet":
+        out_h_ref = take()
+    elif mode == "gin":
+        out_h_ref, out_hl_ref = take(2)
+    else:
+        out_sg_ref, out_sl_ref = take(2)
+
     ep = ep_ref[:].reshape(g * p, c)      # lane dim preserved
     cd = ep.dtype                          # MXU compute dtype
     e_exp = exp_ref[:]                     # (2P, N) stacked [EJ; EI]
     e_con = con_ref[:]                     # (N, 2P) stacked [EI^T | EJ^T]
-    h = h0_ref[:].reshape(g * n, h0_ref.shape[-1]).astype(jnp.float32)
+    f = h0_ref.shape[-1]
+    h = h0_ref[:].reshape(g * n, f).astype(jnp.float32)
 
     def dot(x, w):
         return jnp.dot(x.astype(cd), w.astype(cd),
                        preferred_element_type=jnp.float32)
 
+    def expand(x2d, width):
+        # per-graph expansion dots: rows (x_j; x_i) for every pair, via
+        # the stacked one-hot selector — exact row selection on the MXU
+        outs = []
+        for gi in range(g):
+            outs.append(dot(e_exp, x2d[gi * n:(gi + 1) * n]))
+        return jnp.concatenate(outs, axis=0).reshape(g, 2 * p, width)
+
+    def contract(m3, width):
+        # per-graph contraction dots back to nodes
+        outs = []
+        for gi in range(g):
+            outs.append(dot(e_con, m3[gi]))
+        del width
+        return jnp.concatenate(outs, axis=0)
+
+    # ---- SchNet interaction stack -------------------------------------
     for blk in range(nb):
         beta1 = scalars_ref[blk, 0]
         beta2 = scalars_ref[blk, 1]
         act_beta = scalars_ref[blk, 2]
 
-        # node inputs of both convs (CFConv lin1 + leaky_relu)
         x1 = _leaky(dot(h, l1a_k_ref[blk]) + l1a_b_ref[blk])   # (g*n, F1)
         x2 = _leaky(dot(h, l1b_k_ref[blk]) + l1b_b_ref[blk])   # (g*n, F2)
-        x_cat = jnp.concatenate([x1, x2], axis=-1).astype(jnp.float32)
+        x_cat = jnp.concatenate([x1, x2], axis=-1)
 
-        # filter MLPs on the packed pairs, scaled by the per-pair plane
         def filters(fa, ba, beta, fb, bb, we):
             v = dot(ep, fa) + ba
             v = softplus_fn(beta * v) - LN2
@@ -105,20 +156,14 @@ def _stack_kernel(ep_ref, we_ref, h0_ref, exp_ref, con_ref,
         t2 = filters(fa2_ref[blk], ba2_ref[blk], beta2,
                      fb2_ref[blk], bb2_ref[blk], we_ref[2 * blk + 1])
         f1 = t1.shape[-1]
-        t_cat = jnp.concatenate([t1, t2], axis=-1)             # (g*p, F1+F2)
+        fw = f1 + t2.shape[-1]
+        t_cat = jnp.concatenate([t1, t2], axis=-1)             # (g*p, FW)
 
-        # merged-stream endpoint aggregation, two MXU dots per graph
-        outs = []
-        for gi in range(g):
-            tg = t_cat[gi * p:(gi + 1) * p]
-            tg2 = jnp.concatenate([tg, tg], axis=0)            # (2P, F1+F2)
-            xg = x_cat[gi * n:(gi + 1) * n]
-            xij = jnp.dot(e_exp, xg, preferred_element_type=jnp.float32)
-            outs.append(jnp.dot(e_con, tg2 * xij,
-                                preferred_element_type=jnp.float32))
-        a = jnp.concatenate(outs, axis=0)                      # (g*n, F1+F2)
+        xij = expand(x_cat, fw)                                # (g, 2P, FW)
+        t3 = t_cat.reshape(g, p, fw)
+        tt = jnp.concatenate([t3, t3], axis=1)                 # (g, 2P, FW)
+        a = contract(tt * xij, fw)                             # (g*n, FW)
 
-        # node-side block math (InteractionBlock tail + SE gate)
         p1 = dot(a[:, :f1], l2a_k_ref[blk]) + l2a_b_ref[blk]
         p2 = dot(a[:, f1:], l2b_k_ref[blk]) + l2b_b_ref[blk]
         comb = jnp.concatenate([p1, p2], axis=-1)
@@ -131,22 +176,82 @@ def _stack_kernel(ep_ref, we_ref, h0_ref, exp_ref, con_ref,
                                    se1_ref[blk]))
         h = h + out
 
-    out_ref[:] = h.reshape(g, n, h.shape[-1])
+    if mode == "schnet":
+        out_h_ref[:] = h.reshape(g, n, f)
+        return
+
+    # ---- GIN local branch ----------------------------------------------
+    epl = epl_ref[:].reshape(g * p, c)
+    e3 = epl.astype(jnp.float32).reshape(g, p, c)
+    e2 = jnp.concatenate([e3, e3], axis=1)                     # (g, 2P, C)
+    lm = lm_ref[:]                                             # (g, P) f32
+    m2 = jnp.concatenate([lm, lm], axis=1)[..., None]          # (g, 2P, 1)
+    hl = hl0_ref[:].reshape(g * n, f).astype(jnp.float32)
+    for li in range(nl):
+        hij = expand(hl, f)                                    # (g, 2P, H)
+        # m in {0,1} commutes with relu: m*relu(x) == relu(m*x)
+        msg = jax.nn.relu((hij + e2) * m2)
+        agg = contract(msg, f)                                 # (g*n, H)
+        out = hl + agg
+        out = jax.nn.relu(dot(out, g0k_ref[li]) + g0b_ref[li])
+        out = dot(out, g1k_ref[li]) + g1b_ref[li]
+        if li < nl - 1:
+            out = jax.nn.relu(out)
+        hl = out + hl
+
+    if mode == "gin":
+        out_h_ref[:] = h.reshape(g, n, f)
+        out_hl_ref[:] = hl.reshape(g, n, f)
+        return
+
+    # ---- pair-score MLP heads (fast_forward.pair_scores_packed) --------
+    def scores(hx, e2d, w1h, w1e, b1, w2, b2, w3, b3):
+        ys = []
+        for gi in range(g):
+            y = dot(e_exp, hx[gi * n:(gi + 1) * n])            # (2P, H)
+            ys.append(y[p:] * y[:p])                           # h_i * h_j
+        prod = jnp.concatenate(ys, axis=0)                     # (g*p, H)
+        x = act_fn(dot(prod, w1h[:]) + dot(e2d, w1e[:]) + b1[:])
+        y = act_fn(dot(x, w2[:]) + b2[:])
+        # last layer as a lane reduce ((g*p, 1) would change the lane dim)
+        y3 = y.reshape(g, p, y.shape[-1])
+        return jnp.sum(y3 * w3[:][None].astype(jnp.float32),
+                       axis=-1) + b3                           # (g, P)
+
+    out_sg_ref[:] = scores(h, ep, sg_w1h_ref, sg_w1e_ref, sg_b1_ref,
+                           sg_w2_ref, sg_b2_ref, sg_w3_ref,
+                           scalars_ref[nb, 0])
+    out_sl_ref[:] = scores(hl, epl, sl_w1h_ref, sl_w1e_ref, sl_b1_ref,
+                           sl_w2_ref, sl_b2_ref, sl_w3_ref,
+                           scalars_ref[nb, 1])
 
 
-def packed_stack_forward(e_packed, we, h0, blocks, group: int = 8,
+def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
+                         e_packed_local=None, local_mask_p=None, hl0=None,
+                         gin_layers=None, grad_global=None, grad_local=None,
+                         group: int = 8,
                          softplus_fn=jax.nn.softplus,
                          sigmoid_fn=jax.nn.sigmoid,
+                         act_fn=jax.nn.relu,
                          vmem_limit_bytes: int = 96 * 1024 * 1024):
-    """Run the full interaction stack on packed pairs as ONE kernel.
+    """Run the packed per-step forward (post edge-encoder) as ONE kernel.
 
-    e_packed: (B, P, C) edge features on the triu pair set. we: (2*NB, B, P)
-    f32 per-pair scalar planes (distance weight x envelope x edge mask),
-    ordered [blk0 conv1, blk0 conv2, blk1 conv1, ...] — zero on padded or
-    invalid pairs, which keeps padded nodes' aggregates at exactly 0.
-    h0: (B, N, H) f32 initial node embedding. blocks: the folded per-block
-    dicts from fast_forward.fold_eval_params. Returns h_final (B, N, H) f32.
+    e_packed: (B, P, C) edge features on the triu pair set (ops/pairs.py
+    order). we: (2*NB, B, P) f32 per-pair scalar planes (distance weight x
+    envelope x edge mask), ordered [blk0 conv1, blk0 conv2, blk1 conv1,
+    ...] — zero on padded/invalid pairs, which keeps padded nodes'
+    aggregates at exactly 0. h0: (B, N, H) initial SchNet node embedding.
+    blocks: folded per-block dicts from fast_forward.fold_eval_params.
+
+    mode='schnet' returns h_final (B, N, H) f32.
+    mode='gin'    also needs e_packed_local/local_mask_p/hl0/gin_layers and
+                  returns (h_final, hl_final).
+    mode='full'   also needs grad_global/grad_local (the folded 6-tuple
+                  score-MLP params) and returns the two PACKED score
+                  planes (score_global, score_local), each (B, P) f32 —
+                  mirror to dense + mask on the XLA side.
     """
+    assert mode in MODES, mode
     b, p, c = e_packed.shape
     n = h0.shape[1]
     nb = len(blocks)
@@ -154,6 +259,7 @@ def packed_stack_forward(e_packed, we, h0, blocks, group: int = 8,
     assert p == n * (n - 1) // 2, (p, n)
     g = _group_of(b, group)
     e_exp, e_con = _selectors(n)
+    nl = len(gin_layers) if gin_layers is not None else 0
 
     def stk(path):
         return jnp.stack([path(blk) for blk in blocks])
@@ -163,15 +269,24 @@ def packed_stack_forward(e_packed, we, h0, blocks, group: int = 8,
         # broadcasts over rows (Mosaic 1-D slices are less reliable)
         return jnp.stack([path(blk).reshape(1, -1) for blk in blocks])
 
-    scalars = jnp.stack([
-        jnp.stack([blk["convs"][0]["beta"].astype(jnp.float32).reshape(()),
-                   blk["convs"][1]["beta"].astype(jnp.float32).reshape(()),
-                   blk["act_beta"].astype(jnp.float32).reshape(())])
-        for blk in blocks
-    ])  # (NB, 3)
+    def sc(v):
+        return jnp.asarray(v, jnp.float32).reshape(())
 
-    args = [
-        e_packed, we, h0, e_exp, e_con,
+    scalars = jnp.stack(
+        [jnp.stack([sc(blk["convs"][0]["beta"]), sc(blk["convs"][1]["beta"]),
+                    sc(blk["act_beta"])]) for blk in blocks]
+        + [jnp.stack([sc(grad_global[5][0] if mode == "full" else 0.0),
+                      sc(grad_local[5][0] if mode == "full" else 0.0),
+                      sc(0.0)])]
+    )  # (NB+1, 3): per-block betas + the two score-head output biases
+
+    args = [e_packed, we, h0]
+    if mode != "schnet":
+        args += [e_packed_local,
+                 local_mask_p.astype(jnp.float32),
+                 hl0]
+    args += [e_exp, e_con]
+    args += [
         stk(lambda bk: bk["convs"][0]["fa"][0]),
         bias(lambda bk: bk["convs"][0]["fa"][1]),
         stk(lambda bk: bk["convs"][0]["fb"][0]),
@@ -196,28 +311,59 @@ def packed_stack_forward(e_packed, we, h0, blocks, group: int = 8,
         bias(lambda bk: bk["att1"][1]),
         stk(lambda bk: bk["se0"]),
         stk(lambda bk: bk["se1"]),
-        scalars,
     ]
+    if mode != "schnet":
+        args += [
+            jnp.stack([l["l0"][0] for l in gin_layers]),
+            jnp.stack([l["l0"][1].reshape(1, -1) for l in gin_layers]),
+            jnp.stack([l["l1"][0] for l in gin_layers]),
+            jnp.stack([l["l1"][1].reshape(1, -1) for l in gin_layers]),
+        ]
+    if mode == "full":
+        def head(p6):
+            w1, b1, w2, b2, w3, _ = p6
+            return [w1[:c], w1[c:], b1.reshape(1, -1), w2,
+                    b2.reshape(1, -1), w3.reshape(1, -1)]
+
+        args += head(grad_global) + head(grad_local)
+    args += [scalars]
+
     f = h0.shape[-1]
     vm = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((g, p, c), lambda i: (i, 0, 0), memory_space=vm),
         pl.BlockSpec((2 * nb, g, p), lambda i: (0, i, 0), memory_space=vm),
         pl.BlockSpec((g, n, f), lambda i: (i, 0, 0), memory_space=vm),
-    ] + [_wspec(a) for a in args[3:-1]] + [
+    ]
+    if mode != "schnet":
+        in_specs += [
+            pl.BlockSpec((g, p, c), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((g, p), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((g, n, f), lambda i: (i, 0, 0), memory_space=vm),
+        ]
+    in_specs += [_wspec(a) for a in args[len(in_specs):-1]] + [
         pl.BlockSpec(scalars.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    kernel = functools.partial(_stack_kernel, nb=nb, g=g, p=p, n=n, c=c,
-                               softplus_fn=softplus_fn,
-                               sigmoid_fn=sigmoid_fn)
+    node_spec = pl.BlockSpec((g, n, f), lambda i: (i, 0, 0),
+                             memory_space=vm)
+    node_shape = jax.ShapeDtypeStruct((b, n, f), jnp.float32)
+    plane_spec = pl.BlockSpec((g, p), lambda i: (i, 0), memory_space=vm)
+    plane_shape = jax.ShapeDtypeStruct((b, p), jnp.float32)
+    out_specs, out_shape = {
+        "schnet": (node_spec, node_shape),
+        "gin": ((node_spec, node_spec), (node_shape, node_shape)),
+        "full": ((plane_spec, plane_spec), (plane_shape, plane_shape)),
+    }[mode]
+    kernel = functools.partial(_stack_kernel, nb=nb, nl=nl, g=g, p=p, n=n,
+                               c=c, mode=mode, softplus_fn=softplus_fn,
+                               sigmoid_fn=sigmoid_fn, act_fn=act_fn)
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, n, f), lambda i: (i, 0, 0),
-                               memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes),
         interpret=_INTERPRET,

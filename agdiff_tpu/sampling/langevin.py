@@ -340,11 +340,15 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         (ops/pallas/block_packed.py): filter MLPs + one-hot endpoint
         aggregation in VMEM, no (B, N, N, F) filter mirrors in HBM — the
         dominant traffic of the slim step (tools/hlo_traffic.py);
-      * 'pks' — the slim engine with the WHOLE interaction stack as ONE
-        Pallas kernel (ops/pallas/stack_packed.py): h carried across all
-        blocks in VMEM, e_packed read once, node-side block math
-        in-kernel — removes the per-block kernel's dispatch boundaries
-        and boundary I/O that made 'pk' a wash.
+      * 'pks' / 'pksg' / 'pksf' — the slim engine with growing spans of
+        the forward as ONE Pallas kernel (ops/pallas/stack_packed.py):
+        'pks' = the whole interaction stack (h carried across all blocks
+        in VMEM, e_packed read once, node-side block math in-kernel —
+        removes the per-block kernel's dispatch boundaries and boundary
+        I/O that made 'pk' a wash); 'pksg' adds the GIN local branch
+        (no (B, N^2, H) message mirror); 'pksf' adds both pair-score
+        heads — the kernel emits only the two (B, P) packed score
+        planes and node states never touch HBM.
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -372,9 +376,10 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if approx:
         engine = "tight" if engine == "tight-approx" else None
     packed_kernel = engine == "pk"
-    packed_stack = engine == "pks"
+    packed_stack = {"pks": "schnet", "pksg": "gin",
+                    "pksf": "full"}.get(engine, False)
     if engine in ("slim", "slim2", "slim8", "tight-slim", "tight-slim8",
-                  "pk", "pks"):
+                  "pk", "pks", "pksg", "pksf"):
         if store_dtype is None:
             store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)

@@ -173,6 +173,31 @@ class TestFastForward:
                                  packed_stack=True)
         _compare(fwd(batch), golden)
 
+    def test_packed_stack_gin_matches_module(self, setup, monkeypatch):
+        """packed_stack='gin' (engine 'pksg'): the GIN local branch joins
+        the whole-stack kernel — packed messages relu(m*(hl_j + e)) with
+        the stacked endpoint selectors instead of the dense message
+        mirror. Module-equal at f32."""
+        from agdiff_tpu.ops.pallas import stack_packed
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 packed_stack="gin")
+        _compare(fwd(batch), golden)
+
+    def test_packed_stack_full_matches_module(self, setup, monkeypatch):
+        """packed_stack='full' (engine 'pksf'): the kernel also runs both
+        pair-score MLP heads and emits only the packed score planes.
+        Module-equal at f32."""
+        from agdiff_tpu.ops.pallas import stack_packed
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 packed_stack="full")
+        _compare(fwd(batch), golden)
+
     def test_packed_stack_with_slim_storage(self, setup, monkeypatch):
         """The production composition (engine 'pks'): whole-stack kernel +
         store_dtype narrowing of the GIN mirror / score heads."""
