@@ -372,9 +372,13 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)
-    approx = engine in ("approx", "tight-approx")
+    approx = bool(engine) and engine.endswith("approx")
     if approx:
-        engine = "tight" if engine == "tight-approx" else None
+        # 'approx' / 'tight-approx' / '<pks-engine>-approx': polynomial
+        # transcendentals compose with any engine; inside the stack kernel
+        # they attack EXPOSED VPU work (in XLA they were bandwidth-hidden)
+        engine = {"approx": None, "tight-approx": "tight"}.get(
+            engine, engine[:-len("-approx")])
     packed_kernel = engine == "pk"
     packed_stack = {"pks": "schnet", "pksg": "gin",
                     "pksf": "full"}.get(engine, False)

@@ -92,6 +92,8 @@ def main():
                       "fast-tight-slim8": "tight-slim8",
                       "fast-pk": "pk", "fast-pks": "pks",
                       "fast-pksg": "pksg", "fast-pksf": "pksf",
+                      "fast-pks-approx": "pks-approx",
+                      "fast-pksf-approx": "pksf-approx",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine and engine.startswith("tight") else None)
