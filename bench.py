@@ -120,7 +120,8 @@ def main():
                              "fast-tight", "fast-tight-slim",
                              "fast-tight-slim8", "fast-tight-tab",
                              "fast-pallas", "fast-mono", "fast-stack",
-                             "module"],
+                             "fast-pk", "fast-pks", "fast-pksg",
+                             "fast-pksf", "module"],
                     help="sampling engine: fast-slim (default: fast-xla + "
                          "bf16 STORAGE of the largest per-edge buffers — "
                          "1.174x fast-xla on the HBM-bound step, four-"
@@ -156,6 +157,20 @@ def main():
                          "student is statistical parity with the 5000-step "
                          "protocol (MAT-R 0.730 vs 0.713, paired p=0.53); "
                          "n64 beats it (0.650, p=0.006).")
+    ap.add_argument("--pks-row", default="fast-pksf",
+                    help="also time the whole-stack Pallas-kernel engine "
+                         "(ops/pallas/stack_packed.py) on the headline "
+                         "workload and report it in detail.pks ('' = "
+                         "skip). fast-pksf runs the entire interaction "
+                         "stack + GIN branch + pair-score heads as ONE "
+                         "kernel (node states never touch HBM, ~28 MB/step "
+                         "kernel I/O vs the slim step's 2.3 GB). Round-4 "
+                         "A/B: 1.842 ms/step = 1.124x fast-slim. Parity: "
+                         "trajectory-bit-identical to the module path at "
+                         "f32; at bf16 same arithmetic class as the "
+                         "quality-gated slim engine (bf16 MXU dots, f32 "
+                         "accumulators) but not yet four-metric gated -> "
+                         "reported as a detail row, not the headline.")
     ap.add_argument("--drugs-row", type=int, default=1,
                     help="also measure the Drugs-size workload (N=64 B=48 "
                          "heavy=20, auto-selected tight engine, full 5000-"
@@ -226,7 +241,9 @@ def main():
                         "fast-tight-slim": "tight-slim",
                         "fast-tight-slim8": "tight-slim8",
                         "fast-mono": "mono", "fast-stack": "stack",
-                        "fast-slim": "slim", "fast-slim8": "slim8"}.get(
+                        "fast-slim": "slim", "fast-slim8": "slim8",
+                        "fast-pk": "pk", "fast-pks": "pks",
+                        "fast-pksg": "pksg", "fast-pksf": "pksf"}.get(
                     args.engine),
                 pair_capacity=cap,
                 shared_pairs=tight,
@@ -312,6 +329,41 @@ def main():
             "student n64 BEATS the 5000-step protocol (0.650 vs 0.713, "
             "p=0.006); arm M, tools/rehearsal_r3_distill.sh, README")
 
+    pks = None
+    if args.pks_row:
+        saved_engine = args.engine
+        args.engine = args.pks_row
+        try:
+            psampler = make_sampler(scfg)
+        finally:
+            args.engine = saved_engine
+        t0 = time.perf_counter()
+        pout = psampler(variables, batch, pos_init, jax.random.PRNGKey(23))
+        _ = jax.device_get(pout.pos)
+        p_compile = time.perf_counter() - t0
+        ptimes = []
+        for k in range(2):
+            t0 = time.perf_counter()
+            pout = psampler(variables, batch, pos_init,
+                            jax.random.PRNGKey(24 + k))
+            _ = jax.device_get(pout.pos)
+            ptimes.append(time.perf_counter() - t0)
+        pt = min(ptimes)
+        p_protocol = args.protocol_steps * pt / args.bench_steps
+        pks = {
+            "engine": args.pks_row,
+            "conf_per_sec": round(args.batch / p_protocol, 3),
+            "ms_per_step": round(1000.0 * pt / args.bench_steps, 3),
+            "compile_plus_first_s": round(p_compile, 1),
+            "vs_baseline": round(
+                args.batch / p_protocol / BASELINE_CONF_PER_SEC, 1),
+            "quality_evidence": (
+                "trajectory-bit-identical to the module path at f32 "
+                "(tests/test_fast_forward.py); bf16 = same arithmetic "
+                "class as the gated slim engine (bf16 MXU dots, f32 "
+                "accumulators) — detail row until four-metric gated"),
+        }
+
     drugs = None
     if args.drugs_row:
         drugs = _bench_drugs_row(args)
@@ -336,6 +388,7 @@ def main():
             "baseline_est_conf_per_sec": BASELINE_CONF_PER_SEC,
             "ddim": ddim,
             "distilled": distilled,
+            "pks": pks,
             "drugs": drugs,
             "xla_cache": {"dir": cache_dir, "entries": cache_entries,
                           "warm": bool(cache_entries)},
