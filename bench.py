@@ -121,7 +121,9 @@ def main():
                              "fast-tight-slim8", "fast-tight-tab",
                              "fast-pallas", "fast-mono", "fast-stack",
                              "fast-pk", "fast-pks", "fast-pksg",
-                             "fast-pksf", "module"],
+                             "fast-pksf", "fast-tight-pks",
+                             "fast-tight-pksg", "fast-tight-pksf",
+                             "module"],
                     help="sampling engine: fast-slim (default: fast-xla + "
                          "bf16 STORAGE of the largest per-edge buffers — "
                          "1.174x fast-xla on the HBM-bound step, four-"
@@ -158,6 +160,14 @@ def main():
                          "protocol (MAT-R 0.730 vs 0.713, paired p=0.53); "
                          "n64 beats it (0.650, p=0.006).")
     ap.add_argument("--pks-row", default="fast-pksf",
+                    choices=["fast-xla", "fast-slim", "fast-slim8",
+                             "fast-tight", "fast-tight-slim",
+                             "fast-tight-slim8", "fast-tight-tab",
+                             "fast-pallas", "fast-mono", "fast-stack",
+                             "fast-pk", "fast-pks", "fast-pksg",
+                             "fast-pksf", "fast-tight-pks",
+                             "fast-tight-pksg", "fast-tight-pksf",
+                             "module", ""],
                     help="also time the whole-stack Pallas-kernel engine "
                          "(ops/pallas/stack_packed.py) on the headline "
                          "workload and report it in detail.pks ('' = "
@@ -229,7 +239,9 @@ def main():
 
             cap = None
             tight = args.engine in ("fast-tight", "fast-tight-tab",
-                                    "fast-tight-slim", "fast-tight-slim8")
+                                    "fast-tight-slim", "fast-tight-slim8",
+                                    "fast-tight-pks", "fast-tight-pksg",
+                                    "fast-tight-pksf")
             if tight:
                 # the bench batch is one molecule repeated (the reference
                 # generation pattern) -> the shared pair list applies
@@ -243,7 +255,10 @@ def main():
                         "fast-mono": "mono", "fast-stack": "stack",
                         "fast-slim": "slim", "fast-slim8": "slim8",
                         "fast-pk": "pk", "fast-pks": "pks",
-                        "fast-pksg": "pksg", "fast-pksf": "pksf"}.get(
+                        "fast-pksg": "pksg", "fast-pksf": "pksf",
+                        "fast-tight-pks": "tight-pks",
+                        "fast-tight-pksg": "tight-pksg",
+                        "fast-tight-pksf": "tight-pksf"}.get(
                     args.engine),
                 pair_capacity=cap,
                 shared_pairs=tight,
@@ -342,7 +357,7 @@ def main():
         _ = jax.device_get(pout.pos)
         p_compile = time.perf_counter() - t0
         ptimes = []
-        for k in range(2):
+        for k in range(3):
             t0 = time.perf_counter()
             pout = psampler(variables, batch, pos_init,
                             jax.random.PRNGKey(24 + k))
@@ -355,6 +370,7 @@ def main():
             "conf_per_sec": round(args.batch / p_protocol, 3),
             "ms_per_step": round(1000.0 * pt / args.bench_steps, 3),
             "compile_plus_first_s": round(p_compile, 1),
+            "nan_frac": float(np.asarray(pout.nan_flags).mean()),
             "vs_baseline": round(
                 args.batch / p_protocol / BASELINE_CONF_PER_SEC, 1),
             "quality_evidence": (
