@@ -80,7 +80,8 @@ def main(argv=None):
     ap.add_argument("--engine", default=None,
                     choices=["xla", "tight", "mono", "approx", "tight-approx",
                              "slim", "slim8", "tight-slim", "tight-slim8",
-                             "pk", "pks", "pksg", "pksf"],
+                             "pk", "pks", "pksg", "pksf",
+                             "tight-pks", "tight-pksg", "tight-pksf"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "

@@ -31,7 +31,8 @@ from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
 
 # engine names that run models/tight_forward.py (per-molecule pair
 # capacity + shared pair lists apply to all of them)
-_TIGHT_ENGINES = ("tight", "tight-approx", "tight-slim", "tight-slim8")
+_TIGHT_ENGINES = ("tight", "tight-approx", "tight-slim", "tight-slim8",
+                  "tight-pks", "tight-pksg", "tight-pksf")
 
 
 def _cpu_device():
@@ -209,14 +210,17 @@ class GenerationRunner:
         buckets auto-select the tight layout: pair density drops with
         bucket size and the tight engine measures 1.53x fast-xla at N=40,
         2.60x at N=48, 3.18x at N=64 (Drugs size); at N=32 the two are
-        within noise. At bf16 compute both defaults use the narrow-storage
-        (slim, bf16) variant — the step is HBM-traffic-bound (README
-        roofline) and narrowing the fat per-edge buffers measures 1.174x
-        at N=32 and 1.061x at N=64 (round-4 A/B, tools/ab_engines.py) at
-        four-metric quality parity (tools/quality_gate_slim.sh). f32
-        configs keep f32 storage: the narrowing was quality-gated at the
-        production bf16 config, and a user running f32 has asked for
-        full-precision numerics."""
+        within noise. At bf16 compute the QM9-bucket default is the
+        whole-stack Pallas kernel engine 'pksf' (ops/pallas/
+        stack_packed.py): 1.654 ms/step vs slim's 1.924 on the full
+        5000-step protocol (BENCH_r04, 1.16x — the fastest engine) at
+        four-metric quality parity with the module path
+        (docs/evidence/armR/paired_pksf_gate.txt, round 5; slim's own
+        gate is tools/quality_gate_slim.sh). Large buckets use the
+        narrow-storage tight variant (tight-slim, 1.061x tight). f32
+        configs keep the f32 XLA path: the kernel/narrowing were
+        quality-gated at the production bf16 config, and a user running
+        f32 has asked for full-precision numerics."""
         if self.engine is not None:
             return self.engine
         if not self.use_fast:
@@ -225,7 +229,11 @@ class GenerationRunner:
                 and str(self.model_config.dtype) == "bfloat16")
         if self._tight_shared and bucket >= 40:
             return "tight-slim" if slim else "tight"
-        return "slim" if slim else None
+        if slim:
+            # the Mosaic kernel engine needs a real TPU backend; CPU runs
+            # (tests, AGDIFF_PLATFORM=cpu) keep the pure-XLA slim engine
+            return "pksf" if jax.default_backend() == "tpu" else "slim"
+        return None
 
     def _sampler(self, bucket: int, retry: bool, capacity=None,
                  engine=None):

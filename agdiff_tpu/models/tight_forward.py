@@ -171,7 +171,7 @@ def build_tight_forward(
     config: ModelConfig, variables: Dict[str, Any],
     compute_dtype=jnp.float32, capacity: Optional[int] = None,
     shared: bool = False, tabulate: int = 0, approx: bool = False,
-    filter_dtype=None, store_dtype=None,
+    filter_dtype=None, store_dtype=None, packed_stack=False,
 ):
     """Returns forward(batch, ..., pairs=None) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). `capacity` is the static
@@ -192,7 +192,20 @@ def build_tight_forward(
     and the packed filter weights (sub-compute-dtype only matters for
     fp8) — keeping f32 accumulation on every contraction. NOT
     value-identical; quality-gated like the fast path's slim engines
-    (cli.generate --engine tight-slim / tight-slim8)."""
+    (cli.generate --engine tight-slim / tight-slim8).
+
+    packed_stack ('schnet'|'gin'|'full', or True = 'schnet') runs the
+    whole post-edge-encoder forward as ONE Pallas kernel
+    (ops/pallas/stack_packed.py — the round-4 pks/pksg/pksf family)
+    over the TIGHT shared pair list: the kernel's static-triu selectors
+    are replaced by the PairPack's traced one-hot endpoint selectors, so
+    per-pair kernel volume scales with the molecule (capacity E), not
+    the bucket (N(N-1)/2) — the same 1.3-3x volume cut that makes the
+    tight engine win at Drugs density, now composed with the kernel's
+    VMEM-resident node states. Requires shared=True (the reference
+    generation pattern: one molecule repeated across the batch) and the
+    recomputed-filter path (tabulate=0). Engines tight-pks/tight-pksg/
+    tight-pksf in sampling/langevin.build_fast_sampler."""
     cfg = config
     if cfg.edge_encoder != "mlp":
         raise NotImplementedError(
@@ -223,6 +236,25 @@ def build_tight_forward(
     act = {"relu": jax.nn.relu, "gelu": gelu_fn}[cfg.mlp_act]
     cd = compute_dtype
     f32 = jnp.float32
+
+    if packed_stack is True:
+        packed_stack = "schnet"
+    if packed_stack:
+        from agdiff_tpu.ops.pallas.stack_packed import MODES
+
+        if packed_stack not in MODES:
+            raise ValueError(f"packed_stack mode {packed_stack!r} not in "
+                             f"{MODES}")
+        if not shared:
+            raise ValueError(
+                "packed_stack requires shared=True: the kernel takes ONE "
+                "selector pair for the whole batch (per-graph selectors "
+                "would need (B, 2E, N) blocks, and the per-graph tight "
+                "layout already measured 0.85x — see CLAUDE.md round-3)")
+        if tabulate:
+            raise ValueError("packed_stack recomputes the filter MLPs "
+                             "in-kernel; tabulate is the documented-negative "
+                             "alternative (pick one)")
 
     folded = fold_eval_params(config, variables)
     sdt = store_dtype
@@ -386,13 +418,61 @@ def build_tight_forward(
         env_p = envelope(d_p, cfg) * em_p                     # (B, E)
         d3 = d_p[..., None]
 
+        # --- whole-stack Pallas kernel path (engines tight-pks*) ---
+        # the pks kernel family over the TIGHT pair list: the shared
+        # PairPack's traced one-hot endpoint selectors replace the static
+        # triu selectors, so kernel pair volume = capacity E, not the
+        # bucket's N(N-1)/2. Pad slots have all-zero selector rows and
+        # zero we/lm planes -> padded aggregates are exactly 0.
+        hl_kernel = None
+        if packed_stack:
+            from agdiff_tpu.ops.pallas.stack_packed import (
+                packed_stack_forward,
+            )
+
+            we = jnp.stack([dweight(conv, d3) * env_p
+                            for blk in blocks for conv in blk["convs"]])
+            e_exp = jnp.concatenate([pk.oh_j, pk.oh_i], axis=0)
+            e_con = jnp.concatenate([pk.oh_i, pk.oh_j], axis=0).T
+            h0 = _embed_lookup(schnet_emb, batch.atom_type,
+                               cfg.embedding_max_norm)
+            ext = {}
+            if packed_stack != "schnet":
+                ext = dict(e_packed_local=e_p_local,
+                           local_mask_p=lm_p,
+                           hl0=gin_emb[batch.atom_type],
+                           gin_layers=gin_layers)
+            if packed_stack == "full":
+                ext.update(grad_global=grad_global, grad_local=grad_local,
+                           act_fn=act)
+            res = packed_stack_forward(
+                e_p, we, h0.astype(f32), blocks, mode=packed_stack,
+                selectors=(e_exp, e_con), softplus_fn=sp_fn,
+                sigmoid_fn=sig_fn, **ext)
+            if packed_stack == "schnet":
+                h = res
+            elif packed_stack == "gin":
+                h, hl_kernel = res
+            else:
+                sg_plane, sl_plane = res
+                return ModelOutput(
+                    edge_inv_global=mirror(sg_plane, pk, edge_mask, n),
+                    edge_inv_local=mirror(sl_plane, pk, local_mask, n),
+                    edge_mask=edge_mask,
+                    edge_type=edge_type,
+                    edge_length=dist,
+                    local_mask=local_mask,
+                )
+
         # --- SchNet global branch ---
         wp_all = None
         if table is not None:
             wp_all = lookup_filters(d_p, tp_p, em_p)
             offs = np.concatenate([[0], np.cumsum(widths)])
-        h = _embed_lookup(schnet_emb, batch.atom_type, cfg.embedding_max_norm)
-        for bi, blk in enumerate(blocks):
+        if not packed_stack:
+            h = _embed_lookup(schnet_emb, batch.atom_type,
+                              cfg.embedding_max_norm)
+        for bi, blk in enumerate([] if packed_stack else blocks):
             c1, c2 = blk["convs"]
             h_cd = h.astype(cd)
             if wp_all is not None:
@@ -432,8 +512,10 @@ def build_tight_forward(
         else:
             e_loc = e_p_local.astype(f32)
         lm3 = lm_p[..., None]
-        hl = gin_emb[batch.atom_type]
-        for i, layer in enumerate(gin_layers):
+        hl = (hl_kernel if packed_stack == "gin"
+              else gin_emb[batch.atom_type])
+        for i, layer in enumerate(
+                [] if packed_stack == "gin" else gin_layers):
             if sdt is not None:
                 hi, hj = gather_pairs(hl.astype(cd), pk)
                 e_cd = e_loc.astype(cd)

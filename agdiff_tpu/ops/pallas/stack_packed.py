@@ -229,7 +229,7 @@ def _stack_kernel(*refs, nb, nl, g, p, n, c, mode,
 def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
                          e_packed_local=None, local_mask_p=None, hl0=None,
                          gin_layers=None, grad_global=None, grad_local=None,
-                         group: int = 8,
+                         group: int = 8, selectors=None,
                          softplus_fn=jax.nn.softplus,
                          sigmoid_fn=jax.nn.sigmoid,
                          act_fn=jax.nn.relu,
@@ -250,15 +250,29 @@ def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
                   score-MLP params) and returns the two PACKED score
                   planes (score_global, score_local), each (B, P) f32 —
                   mirror to dense + mask on the XLA side.
+
+    selectors: optional (e_exp (2P, N), e_con (N, 2P)) stacked one-hot
+    endpoint selectors ([EJ; EI] / [EI^T | EJ^T]) overriding the static
+    full-triu pair set — this is how the TIGHT engine reuses the kernel:
+    its shared molecule-sized pair list (tight_forward.PairPack, traced
+    values so one compiled ladder serves every molecule) becomes the
+    selector pair, P becomes the pair capacity, and pad slots carry
+    all-zero selector rows (their we/mask planes are zero too, so padded
+    aggregates stay exactly 0).
     """
     assert mode in MODES, mode
     b, p, c = e_packed.shape
     n = h0.shape[1]
     nb = len(blocks)
     assert we.shape == (2 * nb, b, p), (we.shape, nb, b, p)
-    assert p == n * (n - 1) // 2, (p, n)
+    if selectors is None:
+        assert p == n * (n - 1) // 2, (p, n)
+        e_exp, e_con = _selectors(n)
+    else:
+        e_exp, e_con = selectors
+        assert e_exp.shape == (2 * p, n), (e_exp.shape, p, n)
+        assert e_con.shape == (n, 2 * p), (e_con.shape, p, n)
     g = _group_of(b, group)
-    e_exp, e_con = _selectors(n)
     nl = len(gin_layers) if gin_layers is not None else 0
 
     def stk(path):

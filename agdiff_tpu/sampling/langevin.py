@@ -348,7 +348,13 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         I/O that made 'pk' a wash); 'pksg' adds the GIN local branch
         (no (B, N^2, H) message mirror); 'pksf' adds both pair-score
         heads — the kernel emits only the two (B, P) packed score
-        planes and node states never touch HBM.
+        planes and node states never touch HBM;
+      * 'tight-pks' / 'tight-pksg' / 'tight-pksf' — the same kernel
+        spans over the TIGHT engine's shared molecule-sized pair list
+        (tight_forward.py packed_stack=...): kernel pair volume scales
+        with the molecule (capacity), not the bucket, composing the
+        tight engine's Drugs-density volume cut with the whole-stack
+        kernel's VMEM-resident node states. shared_pairs=True required.
     Parameters are baked into the closure (weights fold once on host).
 
     mesh: a jax.sharding.Mesh makes the returned sampler data-parallel —
@@ -380,10 +386,12 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
         engine = {"approx": None, "tight-approx": "tight"}.get(
             engine, engine[:-len("-approx")])
     packed_kernel = engine == "pk"
-    packed_stack = {"pks": "schnet", "pksg": "gin",
-                    "pksf": "full"}.get(engine, False)
+    packed_stack = {"pks": "schnet", "pksg": "gin", "pksf": "full",
+                    "tight-pks": "schnet", "tight-pksg": "gin",
+                    "tight-pksf": "full"}.get(engine, False)
     if engine in ("slim", "slim2", "slim8", "tight-slim", "tight-slim8",
-                  "pk", "pks", "pksg", "pksf"):
+                  "pk", "pks", "pksg", "pksf",
+                  "tight-pks", "tight-pksg", "tight-pksf"):
         if store_dtype is None:
             store_dtype = (jnp.float8_e4m3fn if engine.endswith("8")
                            else jnp.bfloat16)
@@ -398,7 +406,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                          tabulate=tabulate,
                                          approx=approx,
                                          filter_dtype=filter_dtype,
-                                         store_dtype=store_dtype)
+                                         store_dtype=store_dtype,
+                                         packed_stack=packed_stack)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 

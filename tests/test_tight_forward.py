@@ -202,3 +202,47 @@ def test_tight_sampler_with_prepare_hoist(setup):
     np.testing.assert_allclose(np.asarray(out_fast.pos),
                                np.asarray(out_ref.pos), rtol=1e-3, atol=1e-4)
     assert not bool(np.asarray(out_fast.nan_flags).any())
+
+
+@pytest.mark.parametrize("mode", ["schnet", "gin", "full"])
+def test_tight_packed_stack_matches_module(setup, mode, monkeypatch):
+    """packed_stack over the TIGHT shared pair list (engines tight-pks/
+    tight-pksg/tight-pksf): the whole-stack Pallas kernel
+    (ops/pallas/stack_packed.py) with the PairPack's traced one-hot
+    endpoint selectors in place of the static triu selectors — kernel
+    pair volume = capacity, not N(N-1)/2. Module-equal at f32
+    (interpret mode on CPU; same bar as the fast-path pks tests)."""
+    from agdiff_tpu.ops.pallas import stack_packed
+
+    monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+    config, _, _, _, _ = setup
+    mol = synthetic_dataset(1, seed=11, min_heavy=6, max_heavy=6)[0]
+    batch = pad_molecules([mol] * 5, max_nodes=N_MAX, edge_order=3,
+                          batch_size=5)
+    noisy = np.asarray(batch.pos) + 0.1 * np.random.default_rng(0).normal(
+        size=batch.pos.shape).astype(np.float32)
+    batch = batch.replace(pos=jnp.asarray(noisy) * batch.node_mask[..., None])
+    model = get_model(config)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    ref = model.apply(variables, batch, train=False)
+    cap = pair_capacity_for(len(mol.atom_type))
+    assert cap < N_MAX * (N_MAX - 1) // 2  # the tight volume cut is real
+    fwd = build_tight_forward(config, variables, capacity=cap, shared=True,
+                              packed_stack=mode)
+    out = jax.jit(lambda b: fwd(b))(batch)
+    em, lm = np.asarray(ref.edge_mask), np.asarray(ref.local_mask)
+    np.testing.assert_allclose(
+        np.where(em, np.asarray(out.edge_inv_global), 0),
+        np.where(em, np.asarray(ref.edge_inv_global), 0),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.where(lm, np.asarray(out.edge_inv_local), 0),
+        np.where(lm, np.asarray(ref.edge_inv_local), 0),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_tight_packed_stack_requires_shared(setup):
+    config, _, variables, _, _ = setup
+    with pytest.raises(ValueError, match="shared"):
+        build_tight_forward(config, variables, capacity=128,
+                            packed_stack="full")

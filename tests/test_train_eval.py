@@ -508,6 +508,49 @@ class TestParallelSampler:
                 np.asarray(r1.pos), np.asarray(r2.pos), atol=1e-5)
             assert not np.asarray(r2.nan_flags).any()
 
+    def test_dp_pks_engines_match_single(self, smoke_config, monkeypatch):
+        """The whole-stack Pallas kernel engines (pksf, tight-pksf — the
+        round-5 gated defaults) under the DP mesh == single-device, in
+        interpret mode on the CPU mesh exactly as the parity tests run
+        the kernel (VERDICT r4 #4: the prospective default needs
+        multi-device correctness evidence)."""
+        from agdiff_tpu.models.dualenc import get_model
+        from agdiff_tpu.models.schedules import make_diffusion
+        from agdiff_tpu.models.tight_forward import pair_capacity_for
+        from agdiff_tpu.ops.pallas import stack_packed
+        from agdiff_tpu.parallel import make_mesh
+        from agdiff_tpu.parallel.data_parallel import shard_graph_batch
+        from agdiff_tpu.sampling import SamplerConfig
+        from agdiff_tpu.sampling.langevin import build_fast_sampler
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        mols = synthetic_dataset(1, seed=8, min_heavy=4, max_heavy=4)
+        batch = pad_molecules(mols * 8, 16, batch_size=8)
+        model = get_model(smoke_config.model)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        diffusion = make_diffusion(smoke_config.model)
+        scfg = SamplerConfig(n_steps=8, w_global=0.3)
+        pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
+        cap = pair_capacity_for(mols[0].num_nodes)
+        mesh = make_mesh(8)
+        sharded = shard_graph_batch(batch, mesh)
+
+        for engine, shared in [("pksf", False), ("tight-pksf", True)]:
+            kw = dict(use_pallas=False, engine=engine,
+                      pair_capacity=cap if shared else None,
+                      shared_pairs=shared,
+                      store_dtype=jnp.float32)  # f32: exact DP == single
+            single = build_fast_sampler(
+                smoke_config.model, variables, diffusion, scfg, **kw)
+            r1 = single(batch, pos_init, jax.random.PRNGKey(2))
+            par = build_fast_sampler(
+                smoke_config.model, variables, diffusion, scfg,
+                mesh=mesh, **kw)
+            r2 = par(sharded, pos_init, jax.random.PRNGKey(2))
+            np.testing.assert_allclose(
+                np.asarray(r1.pos), np.asarray(r2.pos), atol=1e-5)
+            assert not np.asarray(r2.nan_flags).any()
+
 
 class TestFastRunner:
     def test_runner_use_fast_on_cpu(self, smoke_config):

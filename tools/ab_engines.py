@@ -94,6 +94,9 @@ def main():
                       "fast-pksg": "pksg", "fast-pksf": "pksf",
                       "fast-pks-approx": "pks-approx",
                       "fast-pksf-approx": "pksf-approx",
+                      "fast-tight-pks": "tight-pks",
+                      "fast-tight-pksg": "tight-pksg",
+                      "fast-tight-pksf": "tight-pksf",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine and engine.startswith("tight") else None)
@@ -107,7 +110,10 @@ def main():
                                       "fast-tight-approx",
                                       "fast-tight-bf16f",
                                       "fast-tight-slim",
-                                      "fast-tight-slim8"),
+                                      "fast-tight-slim8",
+                                      "fast-tight-pks",
+                                      "fast-tight-pksg",
+                                      "fast-tight-pksf"),
                 filter_dtype=fdt,
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
