@@ -115,7 +115,7 @@ def main():
                     help="train mode: per-edge tensors on the N(N-1)/2 "
                          "unordered pairs (config.packed_pairs; value/"
                          "gradient-identical, fastest at bf16)")
-    ap.add_argument("--engine", default="fast-slim",
+    ap.add_argument("--engine", default="fast-pksf",
                     choices=["fast-xla", "fast-slim", "fast-slim8",
                              "fast-tight", "fast-tight-slim",
                              "fast-tight-slim8", "fast-tight-tab",
@@ -124,7 +124,12 @@ def main():
                              "fast-pksf", "fast-tight-pks",
                              "fast-tight-pksg", "fast-tight-pksf",
                              "module"],
-                    help="sampling engine: fast-slim (default: fast-xla + "
+                    help="sampling engine: fast-pksf (default: the whole "
+                         "post-edge-encoder forward as ONE Pallas kernel, "
+                         "ops/pallas/stack_packed.py — 1.654 ms/step vs "
+                         "slim's 1.924 on the full protocol, four-metric "
+                         "quality parity vs the module path, docs/evidence/"
+                         "armR/paired_pksf_gate.txt), fast-slim (pure-XLA "
                          "bf16 STORAGE of the largest per-edge buffers — "
                          "1.174x fast-xla on the HBM-bound step, four-"
                          "metric quality parity vs the module path, "
@@ -159,7 +164,7 @@ def main():
                          "student is statistical parity with the 5000-step "
                          "protocol (MAT-R 0.730 vs 0.713, paired p=0.53); "
                          "n64 beats it (0.650, p=0.006).")
-    ap.add_argument("--pks-row", default="fast-pksf",
+    ap.add_argument("--pks-row", default="fast-slim",
                     choices=["fast-xla", "fast-slim", "fast-slim8",
                              "fast-tight", "fast-tight-slim",
                              "fast-tight-slim8", "fast-tight-tab",
@@ -168,19 +173,15 @@ def main():
                              "fast-pksf", "fast-tight-pks",
                              "fast-tight-pksg", "fast-tight-pksf",
                              "module", ""],
-                    help="also time the whole-stack Pallas-kernel engine "
-                         "(ops/pallas/stack_packed.py) on the headline "
+                    help="also time a second engine on the headline "
                          "workload and report it in detail.pks ('' = "
-                         "skip). fast-pksf runs the entire interaction "
-                         "stack + GIN branch + pair-score heads as ONE "
-                         "kernel (node states never touch HBM, ~28 MB/step "
-                         "kernel I/O vs the slim step's 2.3 GB). Round-4 "
-                         "A/B: 1.842 ms/step = 1.124x fast-slim. Parity: "
-                         "trajectory-bit-identical to the module path at "
-                         "f32; at bf16 same arithmetic class as the "
-                         "quality-gated slim engine (bf16 MXU dots, f32 "
-                         "accumulators) but not yet four-metric gated -> "
-                         "reported as a detail row, not the headline.")
+                         "skip). Default fast-slim: the previous (round-4) "
+                         "headline engine, kept as the same-artifact A/B "
+                         "reference for the fast-pksf headline — the "
+                         "whole-stack kernel measured 1.654 vs slim's "
+                         "1.924 ms/step (BENCH_r04) and was four-metric "
+                         "gated in round 5 (docs/evidence/armR/"
+                         "paired_pksf_gate.txt).")
     ap.add_argument("--drugs-row", type=int, default=1,
                     help="also measure the Drugs-size workload (N=64 B=48 "
                          "heavy=20, auto-selected tight engine, full 5000-"
@@ -374,10 +375,10 @@ def main():
             "vs_baseline": round(
                 args.batch / p_protocol / BASELINE_CONF_PER_SEC, 1),
             "quality_evidence": (
-                "trajectory-bit-identical to the module path at f32 "
-                "(tests/test_fast_forward.py); bf16 = same arithmetic "
-                "class as the gated slim engine (bf16 MXU dots, f32 "
-                "accumulators) — detail row until four-metric gated"),
+                "same-artifact A/B reference row for the headline engine; "
+                "slim gate: tools/quality_gate_slim.sh (four-metric "
+                "parity); pksf gate: docs/evidence/armR/"
+                "paired_pksf_gate.txt (four-metric parity, round 5)"),
         }
 
     drugs = None

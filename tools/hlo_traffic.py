@@ -178,7 +178,9 @@ def main():
               "fast-slim8": "slim8", "fast-tight-slim": "tight-slim",
               "fast-tight-slim8": "tight-slim8", "fast-pk": "pk",
               "fast-pks": "pks", "fast-pksg": "pksg",
-              "fast-pksf": "pksf"}[args.engine]
+              "fast-pksf": "pksf", "fast-tight-pks": "tight-pks",
+              "fast-tight-pksg": "tight-pksg",
+              "fast-tight-pksf": "tight-pksf"}[args.engine]
     tightish = bool(engine) and engine.startswith("tight")
     cap = pair_capacity_for(len(mols[0].atom_type)) if tightish else None
     fn = build_fast_sampler(config, variables, diffusion, scfg,
