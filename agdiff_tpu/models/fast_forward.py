@@ -156,6 +156,29 @@ def distance_weight(conv, el, sigmoid=jax.nn.sigmoid):
     return sigmoid(x @ k2 + b2)[..., 0]
 
 
+def stacked_distance_weights(blocks, el, env, sigmoid=jax.nn.sigmoid):
+    """All 2*NB distance-weight x envelope planes in ONE fused chain,
+    emitted directly as the stacked (2*NB, B, P) tensor the pks kernels
+    consume.
+
+    `jnp.stack([dweight(conv, el) * env for ...])` lowers to 2*NB-1
+    dynamic-update-slice fusions that each rewrite the WHOLE stacked
+    buffer (~33 MB/step of the pksf engine's 410 MB XLA residual,
+    tools/hlo_traffic.py round 5). Stacking the tiny DistanceWeighting
+    params instead and reducing with one einsum writes the tensor once.
+    Same math per plane (relu(el*k1+b1) @ k2 -> sigmoid), same f32
+    reduction over the hidden axis."""
+    convs = [conv for blk in blocks for conv in blk["convs"]]
+    k1 = jnp.stack([c["dw1"][0][0] for c in convs])       # (C, W)
+    b1 = jnp.stack([c["dw1"][1] for c in convs])          # (C, W)
+    k2 = jnp.stack([c["dw2"][0][:, 0] for c in convs])    # (C, W)
+    b2 = jnp.stack([c["dw2"][1][0] for c in convs])       # (C,)
+    x = jax.nn.relu(el[..., None] * k1 + b1)              # (B, P, C, W)
+    y = sigmoid(jnp.einsum("bpcw,cw->cbp", x, k2)
+                + b2[:, None, None])                      # (C, B, P)
+    return y * env[None]
+
+
 def envelope(d, cfg: ModelConfig):
     """CFConv cutoff envelope (schnet.py:140-149)."""
     if cfg.smooth_conv:
@@ -637,8 +660,8 @@ def build_fast_forward(
 
             env_p = (envelope(el_packed[..., 0], cfg)
                      * edge_mask[:, iu, ju].astype(jnp.float32))
-            we = jnp.stack([dweight(conv, el_packed) * env_p
-                            for blk in blocks for conv in blk["convs"]])
+            we = stacked_distance_weights(blocks, el_packed, env_p,
+                                          sigmoid=sig_fn)
             ext = {}
             if packed_stack != "schnet":
                 ext = dict(e_packed_local=e_packed_local,

@@ -45,6 +45,7 @@ from agdiff_tpu.models.fast_forward import (
     envelope,
     fold_eval_params,
     node_input,
+    stacked_distance_weights,
 )
 from agdiff_tpu.ops.geometry import pairwise_distance
 from agdiff_tpu.ops.graph import extend_graph_order_dense, radius_union_mask
@@ -430,8 +431,8 @@ def build_tight_forward(
                 packed_stack_forward,
             )
 
-            we = jnp.stack([dweight(conv, d3) * env_p
-                            for blk in blocks for conv in blk["convs"]])
+            we = stacked_distance_weights(blocks, d3, env_p,
+                                          sigmoid=sig_fn)
             e_exp = jnp.concatenate([pk.oh_j, pk.oh_i], axis=0)
             e_con = jnp.concatenate([pk.oh_i, pk.oh_j], axis=0).T
             h0 = _embed_lookup(schnet_emb, batch.atom_type,
