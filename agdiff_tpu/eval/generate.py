@@ -216,23 +216,32 @@ class GenerationRunner:
         5000-step protocol (BENCH_r04, 1.16x — the fastest engine) at
         four-metric quality parity with the module path
         (docs/evidence/armR/paired_pksf_gate.txt, round 5; slim's own
-        gate is tools/quality_gate_slim.sh). Large buckets use the
-        narrow-storage tight variant (tight-slim, 1.061x tight). f32
-        configs keep the f32 XLA path: the kernel/narrowing were
-        quality-gated at the production bf16 config, and a user running
-        f32 has asked for full-precision numerics."""
+        gate is tools/quality_gate_slim.sh). Large buckets use the same
+        kernel over the tight pair list ('tight-pksf': 1.549 vs
+        tight-slim's 1.984 ms/step = 1.281x at N=64 B=48, round-5 A/B;
+        four-metric parity at the Drugs serving recipe,
+        docs/evidence/armQ/paired_pksf_gate_drugs.txt). CAVEAT: a COLD
+        tight-pksf Mosaic compile is ~16 min (vs ~40 s tight-slim) —
+        the repo-local XLA disk cache amortizes it after the first run,
+        and serving warms every shape at startup. f32 configs keep the
+        f32 XLA path: the kernels/narrowing were quality-gated at the
+        production bf16 config, and a user running f32 has asked for
+        full-precision numerics."""
         if self.engine is not None:
             return self.engine
         if not self.use_fast:
             return None
         slim = (self.model_config is not None
                 and str(self.model_config.dtype) == "bfloat16")
+        # the Mosaic kernel engines need a real TPU backend; CPU runs
+        # (tests, AGDIFF_PLATFORM=cpu) keep the pure-XLA slim engines
+        tpu = jax.default_backend() == "tpu"
         if self._tight_shared and bucket >= 40:
-            return "tight-slim" if slim else "tight"
+            if slim:
+                return "tight-pksf" if tpu else "tight-slim"
+            return "tight"
         if slim:
-            # the Mosaic kernel engine needs a real TPU backend; CPU runs
-            # (tests, AGDIFF_PLATFORM=cpu) keep the pure-XLA slim engine
-            return "pksf" if jax.default_backend() == "tpu" else "slim"
+            return "pksf" if tpu else "slim"
         return None
 
     def _sampler(self, bucket: int, retry: bool, capacity=None,

@@ -417,11 +417,13 @@ def _bench_drugs_row(args):
     """Measure the Drugs-size workload (reference: configs/drugs_default.yml
     — larger molecules, lower pair density): N=64 bucket, B=48, 20 heavy
     atoms, with the engine GenerationRunner auto-selects at bucket >= 40
-    under bf16 (fast-tight-slim: shared per-graph pair lists + MXU one-hot
-    aggregation, narrow bf16 storage of the remaining f32 buffers —
-    tight measured 3.18x fast-xla at this size, slim storage another
-    1.061x on top, round-4 A/B). Reports the full 5000-step protocol and
-    the distilled-n16 few-step protocol (arm Q quality evidence)."""
+    under bf16 (fast-tight-pksf: the whole-stack Pallas kernel over the
+    tight shared pair list — tight measured 3.18x fast-xla at this size,
+    slim storage 1.061x on top, and the kernel 1.281x on top of that
+    (round-5 A/B, 1.549 vs 1.984 ms/step; Drugs-recipe four-metric gate
+    docs/evidence/armQ/paired_pksf_gate_drugs.txt). Reports the full
+    5000-step protocol and the distilled-n16 few-step protocol (arm Q
+    quality evidence)."""
     import dataclasses
 
     import jax
@@ -452,8 +454,9 @@ def _bench_drugs_row(args):
     )
     pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
 
-    # mirror GenerationRunner._engine_for: narrow storage at bf16 compute
-    eng = "tight-slim" if args.dtype == "bfloat16" else "tight"
+    # mirror GenerationRunner._engine_for: the whole-stack kernel over the
+    # tight pair list at bf16 compute (round-5 gate), f32 keeps plain tight
+    eng = "tight-pksf" if args.dtype == "bfloat16" else "tight"
 
     def run(cfg_s, key0):
         fast = build_fast_sampler(config, variables, diffusion, cfg_s,
