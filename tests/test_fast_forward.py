@@ -198,6 +198,34 @@ class TestFastForward:
                                  packed_stack="full")
         _compare(fwd(batch), golden)
 
+    def test_packed_stack_approx_matches_xla_approx(self, setup,
+                                                    monkeypatch):
+        """Engine 'pksf-approx': the whole-stack kernel with the polynomial
+        transcendentals (ops/approx.py) passed in as softplus_fn/sigmoid_fn.
+        The XLA approx engine runs the SAME polynomial functions, so at f32
+        the two must agree to accumulation-order noise — the approximation
+        error itself (bounded by tests/test_approx.py) cancels out of this
+        comparison. Motivation: inside the kernel the filter-MLP softplus
+        is EXPOSED VPU (not hidden under HBM traffic as in the XLA path,
+        where round 3 measured activations at 0.3% of the step), so the
+        cheap polynomials can matter exactly where the exact ones don't."""
+        from agdiff_tpu.ops.pallas import stack_packed
+
+        monkeypatch.setattr(stack_packed, "_INTERPRET", True)
+        cfg, batch, variables, _ = setup
+        ref = build_fast_forward(cfg, variables, use_pallas=False,
+                                 approx=True)(batch)
+        out = build_fast_forward(cfg, variables, use_pallas=False,
+                                 approx=True, packed_stack="full")(batch)
+        em = np.asarray(ref.edge_mask)
+        lm = np.asarray(ref.local_mask)
+        np.testing.assert_allclose(
+            np.where(em, np.asarray(out.edge_inv_global), 0),
+            np.where(em, np.asarray(ref.edge_inv_global), 0), atol=2e-4)
+        np.testing.assert_allclose(
+            np.where(lm, np.asarray(out.edge_inv_local), 0),
+            np.where(lm, np.asarray(ref.edge_inv_local), 0), atol=2e-4)
+
     def test_packed_stack_with_slim_storage(self, setup, monkeypatch):
         """The production composition (engine 'pks'): whole-stack kernel +
         store_dtype narrowing of the GIN mirror / score heads."""

@@ -97,6 +97,7 @@ def main():
                       "fast-tight-pks": "tight-pks",
                       "fast-tight-pksg": "tight-pksg",
                       "fast-tight-pksf": "tight-pksf",
+                      "fast-tight-pksf-approx": "tight-pksf-approx",
                       "fast-tight-tab": "tight"}[name]
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine and engine.startswith("tight") else None)
@@ -113,7 +114,8 @@ def main():
                                       "fast-tight-slim8",
                                       "fast-tight-pks",
                                       "fast-tight-pksg",
-                                      "fast-tight-pksf"),
+                                      "fast-tight-pksf",
+                                      "fast-tight-pksf-approx"),
                 filter_dtype=fdt,
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
