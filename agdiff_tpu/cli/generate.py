@@ -81,7 +81,8 @@ def main(argv=None):
                     choices=["xla", "tight", "mono", "approx", "tight-approx",
                              "slim", "slim8", "tight-slim", "tight-slim8",
                              "pk", "pks", "pksg", "pksf",
-                             "tight-pks", "tight-pksg", "tight-pksf"],
+                             "tight-pks", "tight-pksg", "tight-pksf",
+                             "pksf-approx", "tight-pksf-approx"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "

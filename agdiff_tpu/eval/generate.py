@@ -32,7 +32,8 @@ from agdiff_tpu.sampling.langevin import SamplerConfig, build_sampler
 # engine names that run models/tight_forward.py (per-molecule pair
 # capacity + shared pair lists apply to all of them)
 _TIGHT_ENGINES = ("tight", "tight-approx", "tight-slim", "tight-slim8",
-                  "tight-pks", "tight-pksg", "tight-pksf")
+                  "tight-pks", "tight-pksg", "tight-pksf",
+                  "tight-pksf-approx")
 
 
 def _cpu_device():
