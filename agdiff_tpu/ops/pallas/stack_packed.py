@@ -62,6 +62,7 @@ from agdiff_tpu.ops.pallas.block_packed import _selectors
 from agdiff_tpu.ops.pallas.fused import _group_of, _wspec
 
 _INTERPRET = False  # flipped by tests on CPU
+GROUP_DEFAULT = 8   # graphs per grid program (probe knob: tools/ab_engines)
 
 LN2 = 0.6931471805599453
 
@@ -229,7 +230,7 @@ def _stack_kernel(*refs, nb, nl, g, p, n, c, mode,
 def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
                          e_packed_local=None, local_mask_p=None, hl0=None,
                          gin_layers=None, grad_global=None, grad_local=None,
-                         group: int = 8, selectors=None,
+                         group: int | None = None, selectors=None,
                          softplus_fn=jax.nn.softplus,
                          sigmoid_fn=jax.nn.sigmoid,
                          act_fn=jax.nn.relu,
@@ -272,7 +273,7 @@ def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
         e_exp, e_con = selectors
         assert e_exp.shape == (2 * p, n), (e_exp.shape, p, n)
         assert e_con.shape == (n, 2 * p), (e_con.shape, p, n)
-    g = _group_of(b, group)
+    g = _group_of(b, GROUP_DEFAULT if group is None else group)
     nl = len(gin_layers) if gin_layers is not None else 0
 
     def stk(path):
