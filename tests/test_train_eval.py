@@ -628,6 +628,31 @@ class TestFastRunner:
         r.use_fast = False
         assert r._engine_for(64) is None
 
+    def test_engine_auto_selection_tpu_branch(self, smoke_config,
+                                              monkeypatch):
+        """On a TPU backend the bf16 auto-selection upgrades to the
+        whole-stack Pallas kernel engines (pksf at small buckets,
+        tight-pksf at bucket >= 40 — round-5 gates); CPU backends (this
+        test suite) keep the pure-XLA slim engines because Mosaic needs
+        the chip. Exercised here by faking the backend string — the TPU
+        branch is otherwise invisible to CPU CI."""
+        import dataclasses
+
+        from agdiff_tpu.eval import generate as gen_mod
+        from agdiff_tpu.eval.generate import GenerationRunner
+
+        monkeypatch.setattr(gen_mod.jax, "default_backend", lambda: "tpu")
+        r = GenerationRunner.__new__(GenerationRunner)
+        r.engine = None
+        r.use_fast = True
+        r.model_config = dataclasses.replace(smoke_config.model,
+                                             dtype="bfloat16")
+        assert r._engine_for(32) == "pksf"
+        assert r._engine_for(64) == "tight-pksf"
+        r.model_config = smoke_config.model  # f32: kernels stay off
+        assert r._engine_for(32) is None
+        assert r._engine_for(64) == "tight"
+
     def test_runner_fast_engines_under_mesh(self, smoke_config):
         """use_fast (and engine='tight') with a mesh == without: the runner
         no longer forfeits the fast engines on multi-chip generation."""
