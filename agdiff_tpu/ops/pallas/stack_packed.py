@@ -63,6 +63,13 @@ from agdiff_tpu.ops.pallas.fused import _group_of, _wspec
 
 _INTERPRET = False  # flipped by tests on CPU
 GROUP_DEFAULT = 8   # graphs per grid program (probe knob: tools/ab_engines)
+# SPLIT_AGG: compute the CFConv aggregation as two half-dots per graph
+# (a = EI^T(t*EJx) + EJ^T(t*EI x)) instead of materializing the doubled
+# [t;t] and [EJx;EI x] (g, 2P, FW) tensors and one wide contract. Same
+# FLOPs, same f32 intermediates; the K-sum splits 992 -> 2x496 so values
+# differ only by f32 accumulation order. Removes two (g, 2P, FW) VMEM
+# materializations per block (probe: tools/probe_stack_split.py).
+SPLIT_AGG = False
 
 LN2 = 0.6931471805599453
 
@@ -160,10 +167,25 @@ def _stack_kernel(*refs, nb, nl, g, p, n, c, mode,
         fw = f1 + t2.shape[-1]
         t_cat = jnp.concatenate([t1, t2], axis=-1)             # (g*p, FW)
 
-        xij = expand(x_cat, fw)                                # (g, 2P, FW)
-        t3 = t_cat.reshape(g, p, fw)
-        tt = jnp.concatenate([t3, t3], axis=1)                 # (g, 2P, FW)
-        a = contract(tt * xij, fw)                             # (g*n, FW)
+        if SPLIT_AGG:
+            # halves of the stacked selectors: e_exp = [EJ; EI],
+            # e_con = [EI^T | EJ^T]
+            ej, ei = e_exp[:p], e_exp[p:]
+            eit, ejt = e_con[:, :p], e_con[:, p:]
+            t3 = t_cat.reshape(g, p, fw)
+            outs = []
+            for gi in range(g):
+                xg = x_cat[gi * n:(gi + 1) * n]
+                tg = t3[gi]
+                m_up = tg * dot(ej, xg)        # t * x_j  (P, FW)
+                m_lo = tg * dot(ei, xg)        # t * x_i
+                outs.append(dot(eit, m_up) + dot(ejt, m_lo))
+            a = jnp.concatenate(outs, axis=0)                  # (g*n, FW)
+        else:
+            xij = expand(x_cat, fw)                            # (g, 2P, FW)
+            t3 = t_cat.reshape(g, p, fw)
+            tt = jnp.concatenate([t3, t3], axis=1)             # (g, 2P, FW)
+            a = contract(tt * xij, fw)                         # (g*n, FW)
 
         p1 = dot(a[:, :f1], l2a_k_ref[blk]) + l2a_b_ref[blk]
         p2 = dot(a[:, f1:], l2b_k_ref[blk]) + l2b_b_ref[blk]

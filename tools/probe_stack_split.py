@@ -1,12 +1,18 @@
-"""Upper-bound probe: how much of the per-step forward is activation math?
+"""A/B the stack kernel's aggregation form: doubled-tensor contract vs
+split half-dots (stack_packed.SPLIT_AGG).
 
-Monkeypatches ops/approx's softplus/sigmoid/gelu to IDENTITY and A/Bs the
-resulting (numerically meaningless) engine against fast-xla in one process.
-The ratio bounds the best case for ANY cheaper-activation scheme — if
-identity activations don't move ms/step, elementwise op count is not the
-lever and the transcendental-replacement direction is refuted.
+The round-5 identity-activation probe bounded the in-kernel activation
+cost at 5% (probe_act_bound.py --engine pksf: 1.77 vs 1.681 ms/step), so
+the kernel is MXU/data-movement-bound. The default aggregation
+materializes two (g, 2P, FW) f32 tensors per block (xij = expand(x_cat)
+and tt = [t;t]) purely to feed one wide contract dot; the split form
+computes a = EI^T(t*EJx) + EJ^T(t*EI x) per graph — same FLOPs, no
+doubled tensors, values differ only by f32 accumulation order
+(K-sum 992 -> 2x496).
 
-Usage: python tools/probe_act_bound.py [--nodes 32 --batch 128 --heavy 9]
+Both samplers are built AND compiled before the flag flips, so the
+toggle is trace-safe. Usage:
+  python tools/probe_stack_split.py [--nodes 32 --batch 128 --heavy 9]
 """
 
 import argparse
@@ -22,13 +28,8 @@ def main():
     ap.add_argument("--heavy", type=int, default=9)
     ap.add_argument("--bench-steps", type=int, default=250)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--engine", default="pksf")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--engine", default=None,
-                    help="exact-side engine (e.g. pksf); the identity side "
-                         "then runs '<engine>-approx' with identity fns — "
-                         "for the Pallas stack kernels this bounds the "
-                         "EXPOSED in-kernel activation cost, which the "
-                         "XLA paths hide under HBM traffic")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,8 @@ def main():
     from agdiff_tpu.data.synthetic import synthetic_dataset
     from agdiff_tpu.models.dualenc import get_model
     from agdiff_tpu.models.schedules import make_diffusion
-    from agdiff_tpu.ops import approx
+    from agdiff_tpu.models.tight_forward import pair_capacity_for
+    from agdiff_tpu.ops.pallas import stack_packed
     from agdiff_tpu.sampling import SamplerConfig
     from agdiff_tpu.sampling.langevin import build_fast_sampler
 
@@ -57,24 +59,25 @@ def main():
                          clip_local=20.0)
     pos_init = jax.random.normal(jax.random.PRNGKey(1), batch.pos.shape)
 
-    exact = build_fast_sampler(config, variables, diffusion, scfg,
-                               use_pallas=False, engine=args.engine)
-    # identity "activations": the compiled program keeps every matmul and
-    # every fusion boundary but drops the activation arithmetic entirely
-    approx.softplus = lambda x: x
-    approx.sigmoid = lambda x: x
-    approx.gelu = lambda x: x
-    ident_engine = (args.engine + "-approx") if args.engine else "approx"
-    ident = build_fast_sampler(config, variables, diffusion, scfg,
-                               use_pallas=False, engine=ident_engine)
+    tight = args.engine.startswith("tight")
+    kw = dict(
+        engine=args.engine, use_pallas=False,
+        pair_capacity=(pair_capacity_for(max(len(m.atom_type)
+                                             for m in mols))
+                       if tight else None),
+        shared_pairs=tight,
+    )
 
-    exact_name = f"fast-{args.engine}" if args.engine else "fast-xla"
-    samplers = {exact_name: exact, "identity-act": ident}
-    for name, fn in samplers.items():
+    samplers = {}
+    for name, flag in [("merged", False), ("split", True)]:
+        stack_packed.SPLIT_AGG = flag
+        fn = build_fast_sampler(config, variables, diffusion, scfg, **kw)
         t0 = time.perf_counter()
-        _ = jax.device_get(fn(batch, pos_init, jax.random.PRNGKey(2)).pos)
+        out = fn(batch, pos_init, jax.random.PRNGKey(2))
+        _ = jax.device_get(out.pos)
         print(f"# {name}: compile+first {time.perf_counter() - t0:.1f}s",
               flush=True)
+        samplers[name] = fn
 
     times = {n: [] for n in samplers}
     for r in range(args.reps):
@@ -84,11 +87,9 @@ def main():
                 fn(batch, pos_init, jax.random.PRNGKey(10 + r)).pos)
             times[n].append(time.perf_counter() - t0)
 
-    out = {}
-    for n, ts in times.items():
-        out[n] = round(min(ts) * 1000.0 / args.bench_steps, 3)
-    out["activation_share_bound"] = round(
-        1.0 - out["identity-act"] / out[exact_name], 3)
+    out = {n: round(min(ts) * 1000.0 / args.bench_steps, 3)
+           for n, ts in times.items()}
+    out["split_speedup"] = round(out["merged"] / out["split"], 3)
     print(json.dumps(out))
 
 
