@@ -62,7 +62,12 @@ from agdiff_tpu.ops.pallas.block_packed import _selectors
 from agdiff_tpu.ops.pallas.fused import _group_of, _wspec
 
 _INTERPRET = False  # flipped by tests on CPU
-GROUP_DEFAULT = 8   # graphs per grid program (probe knob: tools/ab_engines)
+# graphs per grid program. 16 measured 1.058x over 8 at the QM9 point
+# (1.676 vs 1.774 ms/step, same-process 250-step ladders, round 5):
+# halving the grid halves the per-program re-fetch of the stacked weight
+# blocks. Value-identical to any other grouping — each graph's math is
+# independent — so the quality gates carry over unchanged.
+GROUP_DEFAULT = 16
 # SPLIT_AGG: compute the CFConv aggregation as two half-dots per graph
 # (a = EI^T(t*EJx) + EJ^T(t*EI x)) instead of materializing the doubled
 # [t;t] and [EJx;EI x] (g, 2P, FW) tensors and one wide contract. Same
@@ -78,6 +83,19 @@ MODES = ("schnet", "gin", "full")
 
 def _leaky(x):
     return jnp.where(x > 0, x, 0.2 * x)
+
+
+def _stack_group(b: int, group: int) -> int:
+    """Largest group size <= `group` that divides the batch AND yields a
+    Mosaic-legal (2*NB, g, P) we-plane block: the middle block dim must be
+    divisible by 8 or equal the full array dim (the g=4 probe failed
+    lowering on exactly this). Falls back to one whole-batch program."""
+    g = min(group, b)
+    while g > 0:
+        if b % g == 0 and (g % 8 == 0 or g == b):
+            return g
+        g -= 1
+    return b
 
 
 def _stack_kernel(*refs, nb, nl, g, p, n, c, mode,
@@ -295,7 +313,7 @@ def packed_stack_forward(e_packed, we, h0, blocks, *, mode: str = "schnet",
         e_exp, e_con = selectors
         assert e_exp.shape == (2 * p, n), (e_exp.shape, p, n)
         assert e_con.shape == (n, 2 * p), (e_con.shape, p, n)
-    g = _group_of(b, GROUP_DEFAULT if group is None else group)
+    g = _stack_group(b, GROUP_DEFAULT if group is None else group)
     nl = len(gin_layers) if gin_layers is not None else 0
 
     def stk(path):
