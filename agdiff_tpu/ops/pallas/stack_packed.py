@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from agdiff_tpu.ops.pallas.block_packed import _selectors
-from agdiff_tpu.ops.pallas.fused import _group_of, _wspec
+from agdiff_tpu.ops.pallas.fused import _wspec
 
 _INTERPRET = False  # flipped by tests on CPU
 # graphs per grid program. 16 measured 1.058x over 8 at the QM9 point
