@@ -133,12 +133,20 @@ def fold_eval_params(config: ModelConfig, variables: Dict[str, Any]):
 
 
 def edge_encode(enc_params, edge_length, edge_type, gelu=jax.nn.gelu):
-    """MLPEdgeEncoder, minus the identity softmax attention."""
+    """MLPEdgeEncoder, minus the identity softmax attention.
+
+    When the folded MLP params are narrow (build_fast_forward
+    edge_dtype), the chain runs and STORES narrow from the first matmul
+    on; the feature expansion stays f32 elementwise (one fusion, no
+    materialized f32 buffer) so the distance input is never quantized.
+    """
     k, b = _linear(enc_params["feature_expansion"])
     expanded = gelu(edge_length * k[0] + b)
     bond = enc_params["bond_emb"]["embedding"][edge_type]
-    x = jnp.concatenate([expanded, bond], axis=-1)
     k, b = _linear(enc_params["edge_feature_mlp_0"])
+    expanded = expanded.astype(k.dtype)
+    bond = bond.astype(k.dtype)
+    x = jnp.concatenate([expanded, bond], axis=-1)
     x = gelu(x @ k + b)
     k, b = _linear(enc_params["edge_feature_mlp_1"])
     x = x @ k + b
@@ -199,7 +207,7 @@ def build_fast_forward(
     compute_dtype=jnp.float32, pack_pairs: bool = True,
     approx: bool = False, filter_dtype=None, stack_filters: bool = False,
     store_dtype=None, packed_kernel: bool = False, score_dots: bool = True,
-    packed_stack: bool = False,
+    packed_stack: bool = False, edge_dtype=None,
 ) -> Callable[[GraphBatch], ModelOutput]:
     """Returns forward(batch) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). All parameter folding happens
@@ -338,6 +346,20 @@ def build_fast_forward(
 
     folded = fold_eval_params(config, variables)
     ee, ee_local = folded["ee"], folded["ee_local"]
+    if edge_dtype is not None:
+        # Narrow the whole edge-encoder chain (the last f32 span in the
+        # slim/pksf residual: ~160 MB/step of gelu-MLP intermediates,
+        # tools/hlo_traffic). Casting the folded params makes every matmul
+        # edge_dtype x edge_dtype, so the intermediate buffers store
+        # narrow; the trailing astype(compute_dtype) becomes a no-op.
+        _cast = lambda t: {
+            k: (v if k == "feature_expansion"  # stays f32 (fused elementwise)
+                else jax.tree.map(
+                    lambda a: a.astype(edge_dtype)
+                    if a.dtype == jnp.float32 else a, v))
+            for k, v in t.items()}
+        ee = _cast(ee)
+        ee_local = _cast(ee_local) if ee_local is not None else None
     blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
     sdt = store_dtype
     if sdt is not None and filter_dtype is None:

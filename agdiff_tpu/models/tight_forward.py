@@ -173,6 +173,7 @@ def build_tight_forward(
     compute_dtype=jnp.float32, capacity: Optional[int] = None,
     shared: bool = False, tabulate: int = 0, approx: bool = False,
     filter_dtype=None, store_dtype=None, packed_stack=False,
+    edge_dtype=None,
 ):
     """Returns forward(batch, ..., pairs=None) -> ModelOutput, equivalent to
     model.apply(variables, batch, train=False). `capacity` is the static
@@ -270,6 +271,17 @@ def build_tight_forward(
                 _conv["fa"] = (_conv["fa"][0].astype(fdt), _conv["fa"][1])
                 _conv["fb"] = (_conv["fb"][0].astype(fdt), _conv["fb"][1])
     ee, ee_local = folded["ee"], folded["ee_local"]
+    if edge_dtype is not None:
+        # Narrow the edge-encoder chain's storage (see
+        # fast_forward.build_fast_forward edge_dtype)
+        _ecast = lambda t: {
+            k: (v if k == "feature_expansion"  # stays f32 (fused elementwise)
+                else jax.tree.map(
+                    lambda a: a.astype(edge_dtype)
+                    if a.dtype == jnp.float32 else a, v))
+            for k, v in t.items()}
+        ee = _ecast(ee)
+        ee_local = _ecast(ee_local) if ee_local is not None else None
     blocks, schnet_emb = folded["blocks"], folded["schnet_emb"]
     gin_layers, gin_emb = folded["gin_layers"], folded["gin_emb"]
     grad_global, grad_local = folded["grad_global"], folded["grad_local"]

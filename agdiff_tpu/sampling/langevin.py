@@ -378,6 +378,13 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
     if compute_dtype is None:
         compute_dtype = (jnp.bfloat16 if model_config.dtype == "bfloat16"
                          else jnp.float32)
+    edge_dtype = None
+    if engine and engine.endswith("-e16"):
+        # '<engine>-e16': narrow the edge-encoder chain to bf16 — the last
+        # f32 span in the slim/pksf residual (~160 MB/step of gelu-MLP
+        # intermediates, tools/hlo_traffic). Composes with any engine.
+        edge_dtype = jnp.bfloat16
+        engine = engine[:-len("-e16")]
     approx = bool(engine) and engine.endswith("approx")
     if approx:
         # 'approx' / 'tight-approx' / '<pks-engine>-approx': polynomial
@@ -407,7 +414,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                          approx=approx,
                                          filter_dtype=filter_dtype,
                                          store_dtype=store_dtype,
-                                         packed_stack=packed_stack)
+                                         packed_stack=packed_stack,
+                                         edge_dtype=edge_dtype)
     elif engine == "mono":
         from agdiff_tpu.ops.pallas.monolithic import build_monolithic_forward
 
@@ -424,7 +432,8 @@ def build_fast_sampler(model_config, variables, diffusion: Diffusion,
                                         stack_filters=(engine == "stack"),
                                         store_dtype=store_dtype,
                                         packed_kernel=packed_kernel,
-                                        packed_stack=packed_stack)
+                                        packed_stack=packed_stack,
+                                        edge_dtype=edge_dtype)
 
     def run(batch: GraphBatch, pos_init, key):
         return langevin_dynamics_sample(

@@ -99,6 +99,32 @@ class TestFastForward:
         scale_l = max(np.abs(gl).max(), 1e-6)
         assert np.abs(sl - gl).max() / scale_l < 0.05
 
+    def test_edge_dtype_variant_close_to_module(self, setup):
+        """edge_dtype=bfloat16 narrows the edge-encoder chain (weights +
+        intermediates) from the first matmul on; the f32 feature
+        expansion keeps the distance input unquantized. Scores must
+        track the module to bf16 quantization error (quality-gated like
+        slim — not bit-exact). Engine suffix '-e16' in
+        sampling.langevin.build_fast_sampler."""
+        cfg, batch, variables, golden = setup
+        fwd = build_fast_forward(cfg, variables, use_pallas=False,
+                                 store_dtype=jnp.bfloat16,
+                                 edge_dtype=jnp.bfloat16)
+        out = fwd(batch)
+        em = np.asarray(golden.edge_mask)
+        lm = np.asarray(golden.local_mask)
+        np.testing.assert_array_equal(np.asarray(out.edge_mask), em)
+        g = np.where(em, np.asarray(golden.edge_inv_global), 0)
+        s = np.where(em, np.asarray(out.edge_inv_global), 0)
+        scale = max(np.abs(g).max(), 1e-6)
+        assert np.abs(s - g).max() / scale < 0.05, (
+            f"e16 global scores off by {np.abs(s - g).max() / scale:.3f} "
+            "relative")
+        gl = np.where(lm, np.asarray(golden.edge_inv_local), 0)
+        sl = np.where(lm, np.asarray(out.edge_inv_local), 0)
+        scale_l = max(np.abs(gl).max(), 1e-6)
+        assert np.abs(sl - gl).max() / scale_l < 0.05
+
     def test_slim8_storage_variant_finite_and_correlated(self, setup):
         """store_dtype=float8_e4m3fn: aggressive 1-byte storage. fp8 has
         ~6% max relative quantization error per element; after masked

@@ -114,6 +114,25 @@ def test_tight_slim_storage_close_to_module(setup):
     assert np.abs(li - rl).max() / (np.abs(rl).max() + 1e-6) < 0.05
 
 
+def test_tight_edge_dtype_close_to_module(setup):
+    """edge_dtype=bfloat16 on the tight engine (engine suffix '-e16'):
+    narrows the edge-encoder chain like fast_forward's. Same 5% bar."""
+    config, batch, variables, ref, mols = setup
+    cap = pair_capacity_for(max(len(m.atom_type) for m in mols))
+    fwd = build_tight_forward(config, variables,
+                              compute_dtype=jnp.bfloat16, capacity=cap,
+                              store_dtype=jnp.bfloat16,
+                              edge_dtype=jnp.bfloat16)
+    out = jax.jit(lambda b: fwd(b))(batch)
+    em, lm = np.asarray(ref.edge_mask), np.asarray(ref.local_mask)
+    g = np.where(em, np.asarray(out.edge_inv_global), 0)
+    rg = np.where(em, np.asarray(ref.edge_inv_global), 0)
+    assert np.abs(g - rg).max() / (np.abs(rg).max() + 1e-6) < 0.05
+    li = np.where(lm, np.asarray(out.edge_inv_local), 0)
+    rl = np.where(lm, np.asarray(ref.edge_inv_local), 0)
+    assert np.abs(li - rl).max() / (np.abs(rl).max() + 1e-6) < 0.05
+
+
 def test_tight_slim8_finite_and_correlated(setup):
     """store_dtype=float8_e4m3fn on the tight engine: scores must stay
     finite and strongly correlated with the module's (fp8 has ~6% max

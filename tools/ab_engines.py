@@ -98,7 +98,12 @@ def main():
                       "fast-tight-pksg": "tight-pksg",
                       "fast-tight-pksf": "tight-pksf",
                       "fast-tight-pksf-approx": "tight-pksf-approx",
-                      "fast-tight-tab": "tight"}[name]
+                      "fast-tight-tab": "tight"}.get(
+                          name,
+                          name[len("fast-"):] if name.startswith("fast-")
+                          else None)
+            if engine is None and name != "fast-xla":
+                raise SystemExit(f"unknown engine {name!r}")
             cap = (pair_capacity_for(max(len(m.atom_type) for m in mols))
                    if engine and engine.startswith("tight") else None)
             import jax.numpy as jnp
@@ -107,15 +112,8 @@ def main():
                 config, variables, diffusion, scfg,
                 use_pallas=(engine == "pallas"),
                 engine=engine, pair_capacity=cap,
-                shared_pairs=name in ("fast-tight", "fast-tight-tab",
-                                      "fast-tight-approx",
-                                      "fast-tight-bf16f",
-                                      "fast-tight-slim",
-                                      "fast-tight-slim8",
-                                      "fast-tight-pks",
-                                      "fast-tight-pksg",
-                                      "fast-tight-pksf",
-                                      "fast-tight-pksf-approx"),
+                shared_pairs=(bool(engine) and engine.startswith("tight")
+                              and name != "fast-tight-pg"),
                 filter_dtype=fdt,
                 tabulate=2048 if name == "fast-tight-tab" else 0)
             samplers[name] = lambda k, _f=fn: _f(batch, pos_init, k)
