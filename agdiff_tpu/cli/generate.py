@@ -82,7 +82,9 @@ def main(argv=None):
                              "slim", "slim8", "tight-slim", "tight-slim8",
                              "pk", "pks", "pksg", "pksf",
                              "tight-pks", "tight-pksg", "tight-pksf",
-                             "pksf-approx", "tight-pksf-approx"],
+                             "pksf-approx", "tight-pksf-approx",
+                             "pksf-e16", "tight-pksf-e16",
+                             "slim-e16", "tight-slim-e16"],
                     help="fast-path engine (with --fast): xla = folded-BN "
                          "XLA; tight = packed pair lists sized to the "
                          "molecule; mono = whole-forward Pallas kernel; "

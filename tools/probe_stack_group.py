@@ -15,7 +15,10 @@ Usage:
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

@@ -17,7 +17,10 @@ toggle is trace-safe. Usage:
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():
