@@ -73,7 +73,10 @@ GROUP_DEFAULT = 16
 # [t;t] and [EJx;EI x] (g, 2P, FW) tensors and one wide contract. Same
 # FLOPs, same f32 intermediates; the K-sum splits 992 -> 2x496 so values
 # differ only by f32 accumulation order. Removes two (g, 2P, FW) VMEM
-# materializations per block (probe: tools/probe_stack_split.py).
+# materializations per block. MEASURED NEGATIVE (round 5,
+# tools/probe_stack_split.py, QM9 point): 1.753 vs 1.664 ms/step =
+# 0.949x — the 2g small per-graph dots lose more to MXU tiling than the
+# doubled VMEM materializations cost. Keep False.
 SPLIT_AGG = False
 
 LN2 = 0.6931471805599453
