@@ -12,6 +12,9 @@ Usage:
 import argparse
 import json
 import time
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

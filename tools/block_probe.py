@@ -42,6 +42,9 @@ import argparse
 import functools
 import json
 import time
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

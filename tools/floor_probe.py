@@ -18,6 +18,9 @@ Usage: python tools/floor_probe.py [--batch 128] [--steps 250]
 import argparse
 import json
 import time
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

@@ -20,6 +20,9 @@ import numpy as np
 
 from agdiff_tpu.chem.rmsd import best_rmsd
 from agdiff_tpu.eval.generate import load_samples
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def mean_pairwise(mol, confs, max_pairs):

@@ -27,6 +27,9 @@ import numpy as np
 
 from agdiff_tpu.data.synthetic import synthetic_dataset, torsion_conformer
 from agdiff_tpu.eval.covmat import CovMatEvaluator
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def score(mols, make_gen, label):

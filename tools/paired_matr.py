@@ -26,6 +26,8 @@ from math import erf, sqrt
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 METRICS = ("MatchingR", "MatchingP")  # lower is better
 COV_METRICS = ("CoverageR", "CoverageP")  # higher is better
 

@@ -12,6 +12,9 @@ Usage: python tools/probe_act_bound.py [--nodes 32 --batch 128 --heavy 9]
 import argparse
 import json
 import time
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

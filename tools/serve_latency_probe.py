@@ -24,6 +24,9 @@ import threading
 import time
 
 from agdiff_tpu.serve.server import submit
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 
 def _request(seed: int, args) -> dict:
