@@ -105,3 +105,25 @@ class TestInteractionBlockAggregate:
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(got2), np.asarray(golden(c2, h2)),
                                    atol=2e-3)
+
+
+class TestStackGroup:
+    def test_group_chooser_mosaic_legality(self):
+        """_stack_group must return a divisor of B whose (2NB, g, P)
+        we-plane block is Mosaic-legal: middle block dim divisible by 8
+        or equal to the full batch (the g=4 probe failed lowering on
+        exactly this)."""
+        from agdiff_tpu.ops.pallas.stack_packed import _stack_group
+
+        for b in (8, 16, 32, 48, 64, 128, 256):
+            for want in (4, 8, 16, 24, 32, 48, 128):
+                g = _stack_group(b, want)
+                assert b % g == 0, (b, want, g)
+                assert g % 8 == 0 or g == b, (b, want, g)
+                assert g <= max(want, 1) or g == b, (b, want, g)
+        # documented defaults: QM9 B=128 -> 16, Drugs B=48 -> 16
+        assert _stack_group(128, 16) == 16
+        assert _stack_group(48, 16) == 16
+        # non-multiple-of-8 batches fall back to one whole-batch program
+        assert _stack_group(12, 16) == 12
+        assert _stack_group(4, 8) == 4
