@@ -506,9 +506,9 @@ def _bench_drugs_row(args):
             "vs_baseline": round(BATCH / t_n / BASELINE_CONF_PER_SEC, 1),
             "quality_evidence": "DDIM-100 eta=1 on the EMA ckpt BEATS the "
                                 "5000-step protocol at Drugs size (paired "
-                                "MAT-R -0.063 p=0.026, MAT-P parity; "
-                                ".rehearsals/armQ/paired_ddim_drugs_thresh"
-                                ".txt)",
+                                "MAT-R -0.063 p=0.026, MAT-P parity; table "
+                                "in README 'Drugs DDIM ladder'; regenerate: "
+                                "tools/rehearsal_r4_drugs_followup.sh)",
         }
     return row
 

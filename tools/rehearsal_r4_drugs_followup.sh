@@ -85,3 +85,13 @@ AGDIFF_PLATFORM=cpu python /root/repo/tools/paired_matr.py \
   "$ROOT/student16/samples_all_covmat.npz" \
   | tee "$ROOT/paired_legacy4.txt"
 [ "$FAIL" = 0 ] && echo R4_DRUGS_FOLLOWUP_DONE || echo R4_DRUGS_FOLLOWUP_INCOMPLETE
+
+# round-5 evidence policy: persist the paired tables + covmat npz in git
+EV=/root/repo/docs/evidence/armQ
+mkdir -p "$EV"
+cp -f "$ROOT"/paired_*.txt "$EV/" 2>/dev/null || true
+for d in gen_raw gen_ema student64 student16 ddim250 ddim100 ddim50; do
+  [ -f "$ROOT/$d/samples_all_covmat.npz" ] && \
+    cp -f "$ROOT/$d/samples_all_covmat.npz" "$EV/${d}_covmat.npz"
+done
+echo "evidence copied to $EV"
